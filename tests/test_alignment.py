@@ -1,0 +1,135 @@
+"""Synthetic ground-truth alignment tests — the strongest correctness signal
+(mirrors reference `test_lukas_kanade_se3.cpp:59-77` and the per-pair budget
+of `test_alignment_se3.cpp:119,146`: average SE(3) log-norm error < 0.01)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vslam_tpu.alignment import AlignmentConfig, RgbdAligner
+from vslam_tpu.core import lie_np
+from vslam_tpu.core.camera import Camera
+from vslam_tpu.core.frame import create_frame
+from vslam_tpu.io import synthetic
+from vslam_tpu.solvers import LossConfig, SolverConfig
+
+H, W = 120, 160
+FX = FY = 130.0
+CX, CY = (W - 1) / 2, (H - 1) / 2
+K = synthetic.camera_matrix(FX, FY, CX, CY)
+CAM = Camera.create(FX, FY, CX, CY)
+
+
+def make_frame(pose, scene=None, n_levels=3):
+    scene = scene or synthetic.default_scene()
+    intensity, depth = synthetic.render(K, pose, (H, W), scene)
+    return create_frame(jnp.asarray(intensity), jnp.asarray(depth), CAM, n_levels=n_levels)
+
+
+def solver_cfg(max_iter=60):
+    return SolverConfig(max_iterations=max_iter, min_step_size=1e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_se3_recovery_single_level_pair(seed):
+    """Known SE(3) perturbation between two rendered frames is recovered."""
+    rng = np.random.default_rng(seed)
+    xi_true = np.zeros(6)
+    xi_true[:3] = rng.uniform(-0.03, 0.03, 3)
+    xi_true[3:] = rng.uniform(-0.015, 0.015, 3)
+
+    pose_ref = np.eye(4)
+    pose_cur = lie_np.exp(xi_true) @ pose_ref
+    f_ref = make_frame(pose_ref)
+    f_cur = make_frame(pose_cur)
+
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), loss=LossConfig("None"),
+        include_prior=False, interpolation="bilinear",
+    )
+    aligner = RgbdAligner(cfg)
+    pose_est, cov, ok = aligner.align([f_ref], [pose_ref], f_cur, np.eye(4))
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+    assert err < 0.005, f"pose error {err}"
+    assert cov.shape == (6, 6)
+
+
+def test_se3_recovery_nearest_parity_mode(rng):
+    """Reference parity mode (round-to-nearest lookup) also converges, with a
+    looser tolerance (quantized residuals)."""
+    xi_true = np.array([0.02, -0.01, 0.015, 0.008, -0.01, 0.005])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref = make_frame(np.eye(4))
+    f_cur = make_frame(pose_cur)
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="nearest",
+    )
+    pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+    # quantization floor of round-to-nearest at this quarter resolution
+    # (fx=130) is ~4x the reference's full-res budget; bilinear mode is the
+    # accurate default
+    assert err < 0.02, f"pose error {err}"
+
+
+def test_se3_recovery_with_robust_loss():
+    """Tukey loss still recovers the pose (and survives occluder outliers)."""
+    xi_true = np.array([0.015, 0.01, -0.01, -0.006, 0.008, 0.004])
+    pose_cur = lie_np.exp(xi_true)
+    intensity, depth = synthetic.render(K, np.eye(4), (H, W))
+    f_ref = create_frame(jnp.asarray(intensity), jnp.asarray(depth), CAM, n_levels=3)
+    icur, dcur = synthetic.render(K, pose_cur, (H, W))
+    # inject an "occluder": a block of wrong intensity in the current image
+    icur = icur.copy()
+    icur[40:60, 60:90] = 255.0
+    f_cur = create_frame(jnp.asarray(icur), jnp.asarray(dcur), CAM, n_levels=3)
+
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), loss=LossConfig("Tukey"),
+        include_prior=False, interpolation="bilinear",
+    )
+    pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+    assert err < 0.008, f"pose error {err}"
+
+
+def test_stacked_two_reference_frames():
+    """Joint alignment against two reference frames (the keyframe + last
+    frame stacking of SE3Alignment.cpp:106-146)."""
+    xi01 = np.array([0.01, 0.0, 0.005, 0.003, -0.004, 0.002])
+    xi12 = np.array([0.012, -0.008, 0.0, -0.002, 0.005, 0.003])
+    p0 = np.eye(4)
+    p1 = lie_np.exp(xi01) @ p0
+    p2 = lie_np.exp(xi12) @ p1
+    f0, f1, f2 = make_frame(p0), make_frame(p1), make_frame(p2)
+
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear",
+    )
+    # initial guess = p1 (no motion); references are f0 (keyframe) and f1
+    pose_est, _, ok = RgbdAligner(cfg).align([f0, f1], [p0, p1], f2, p1)
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, p2)))
+    assert err < 0.008, f"pose error {err}"
+
+
+def test_prior_pulls_toward_prediction_when_no_texture():
+    """With a textureless current image (no constraints), the motion prior
+    keeps the solution at the prediction (MotionPrior, SE3Alignment.cpp:27-52)."""
+    pose_pred = lie_np.exp(np.array([0.01, 0.02, -0.01, 0.0, 0.0, 0.01]))
+    f_ref = make_frame(np.eye(4))
+    flat = jnp.full((H, W), 100.0, jnp.float32)
+    depth = jnp.full((H, W), 2.0, jnp.float32)
+    f_cur = create_frame(flat, depth, CAM, n_levels=3)
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(20), include_prior=True,
+    )
+    pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, pose_pred)
+    # prior information dominates; estimate stays near the prediction
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_pred)))
+    assert err < 0.05, f"drifted from prior by {err}"

@@ -1,0 +1,137 @@
+"""Motion prediction models (reference `odometry/src/MotionPrediction.{h,cpp}`).
+
+String factory + three models exactly as the reference's `prediction.model`
+parameter: NoMotion, ConstantMotion (twist extrapolation,
+MotionPrediction.cpp:38-55) and Kalman (EKF-backed,
+MotionPrediction.cpp:57-81). Host-facing; the Kalman model delegates to the
+jit-compiled EKF in `vslam_tpu.kalman.ekf_se3`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie_np
+from ..core.se3 import SE3
+from ..kalman import ekf_se3
+
+__all__ = [
+    "MotionPrediction",
+    "MotionPredictionNoMotion",
+    "MotionPredictionConstant",
+    "MotionPredictionKalman",
+    "make_motion_prediction",
+]
+
+_NS = 1e9
+
+
+class MotionPrediction:
+    def predict(self, t_ns: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def update(self, pose: np.ndarray, t_ns: int) -> None:
+        raise NotImplementedError
+
+
+class MotionPredictionNoMotion(MotionPrediction):
+    """Prediction = last pose (MotionPrediction.h:36-60)."""
+
+    def __init__(self):
+        self._pose = np.eye(4)
+
+    def predict(self, t_ns: int) -> np.ndarray:
+        return self._pose.copy()
+
+    def update(self, pose: np.ndarray, t_ns: int) -> None:
+        self._pose = np.asarray(pose, np.float64)
+
+
+class MotionPredictionConstant(MotionPrediction):
+    """Constant-twist extrapolation: speed = log(rel)/dt, prediction =
+    exp(speed dt) . last_pose (MotionPrediction.cpp:38-55)."""
+
+    def __init__(self):
+        self._pose = np.eye(4)
+        self._speed = np.zeros(6)
+        self._t_ns = 0
+
+    def predict(self, t_ns: int) -> np.ndarray:
+        dt = (int(t_ns) - self._t_ns) / _NS
+        return lie_np.exp(self._speed * dt) @ self._pose
+
+    def update(self, pose: np.ndarray, t_ns: int) -> None:
+        if int(t_ns) < self._t_ns:
+            raise ValueError("New timestamp is older than last one!")
+        dt = (int(t_ns) - self._t_ns) / _NS
+        if dt > 0 and self._t_ns > 0:
+            self._speed = lie_np.log(lie_np.relative(self._pose, pose)) / dt
+        self._pose = np.asarray(pose, np.float64)
+        self._t_ns = int(t_ns)
+
+
+class MotionPredictionKalman(MotionPrediction):
+    """EKF-backed prediction (MotionPrediction.cpp:57-81): the measurement is
+    the per-second speed twist between consecutive odometry poses."""
+
+    def __init__(self, process_noise: float = 1e-2, measurement_noise: float = 1e-2):
+        self._state = ekf_se3.init(process_noise=process_noise, dtype=jnp.float32)
+        self._R = jnp.eye(6, dtype=jnp.float32) * measurement_noise
+        self._pose = np.eye(4)
+        self._t_ns = 0
+
+    def _pose_np(self, g: SE3) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(g.R, np.float64)
+        T[:3, 3] = np.asarray(g.t, np.float64)
+        u, _, vt = np.linalg.svd(T[:3, :3])
+        T[:3, :3] = u @ vt
+        return T
+
+    def predict(self, t_ns: int) -> np.ndarray:
+        dt = (int(t_ns) - self._t_ns) / _NS
+        _, pose = ekf_se3.predict(self._state, dt)
+        return self._pose_np(pose)
+
+    def update(self, pose: np.ndarray, t_ns: int) -> None:
+        if int(t_ns) < self._t_ns:
+            raise ValueError("New timestamp is older than last one!")
+        dt = (int(t_ns) - self._t_ns) / _NS
+        if dt > 0 and self._t_ns > 0:
+            speed = lie_np.log(lie_np.relative(self._pose, pose)) / dt
+            state, _ = ekf_se3.predict(self._state, dt)
+            # re-anchor the filter pose at the measured odometry pose
+            state = ekf_se3.EkfState(
+                pose=SE3(
+                    jnp.asarray(pose[:3, :3], jnp.float32),
+                    jnp.asarray(pose[:3, 3], jnp.float32),
+                ),
+                velocity=state.velocity,
+                P=state.P,
+                Q=state.Q,
+            )
+            self._state = ekf_se3.update(state, jnp.asarray(speed, jnp.float32), self._R)
+        else:
+            self._state = self._state._replace(
+                pose=SE3(
+                    jnp.asarray(pose[:3, :3], jnp.float32),
+                    jnp.asarray(pose[:3, 3], jnp.float32),
+                )
+            )
+        self._pose = np.asarray(pose, np.float64)
+        self._t_ns = int(t_ns)
+
+
+def make_motion_prediction(model: str) -> MotionPrediction:
+    """String factory (MotionPrediction.cpp:22-36); unknown names fall back
+    to the constant-motion model, as the reference does."""
+    if model == "NoMotion":
+        return MotionPredictionNoMotion()
+    if model == "ConstantMotion":
+        return MotionPredictionConstant()
+    if model == "Kalman":
+        return MotionPredictionKalman()
+    return MotionPredictionConstant()

@@ -1,0 +1,79 @@
+"""Visual-odometry front end (reference `odometry/src/Odometry.{h,cpp}`).
+
+`OdometryRgbd.update` aligns the incoming frame against {last keyframe, last
+frame} jointly by default (Odometry.cpp:31-62), derives the speed twist, and
+falls back to the motion-predicted pose when alignment fails (the reference
+catches the solver's exception; here the aligner returns a validity flag —
+graceful degradation without host exceptions).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..alignment.aligner import RgbdAligner
+from ..core import lie_np
+from .map import HostFrame, Map
+
+__all__ = ["OdometryRgbd"]
+
+_NS = 1e9
+
+
+class OdometryRgbd:
+    def __init__(
+        self,
+        aligner: RgbdAligner,
+        slam_map: Map,
+        include_key_frame: bool = True,
+        track_key_frame: bool = False,
+    ):
+        self._aligner = aligner
+        self._map = slam_map
+        self._include_key_frame = include_key_frame
+        self._track_key_frame = track_key_frame
+        self._pose: Optional[np.ndarray] = None
+        self._cov = np.eye(6)
+        self._speed = np.zeros(6)
+
+    @property
+    def pose(self) -> Optional[np.ndarray]:
+        return self._pose
+
+    @property
+    def cov(self) -> np.ndarray:
+        return self._cov
+
+    @property
+    def speed(self) -> np.ndarray:
+        return self._speed
+
+    def update(self, frame: HostFrame) -> None:
+        last = self._map.last_frame()
+        if last is None:
+            # first frame initializes at its (predicted/initial) pose
+            self._pose = frame.pose.copy()
+            self._speed = np.zeros(6)
+            return
+
+        kf = self._map.last_kf()
+        if self._include_key_frame and kf is not None and kf is not last:
+            refs, ref_poses = [kf.frame, last.frame], [kf.pose, last.pose]
+        elif self._track_key_frame and kf is not None:
+            refs, ref_poses = [kf.frame], [kf.pose]
+        else:
+            refs, ref_poses = [last.frame], [last.pose]
+
+        pose, cov, ok = self._aligner.align(refs, ref_poses, frame.frame, frame.pose)
+        if ok:
+            self._pose, self._cov = pose, cov
+            dt = (frame.t_ns - last.t_ns) / _NS
+            if dt > 0:
+                self._speed = lie_np.log(lie_np.relative(last.pose, pose)) / dt
+        else:
+            # alignment failure -> keep the motion-predicted pose
+            # (Odometry.cpp:52-56)
+            self._pose = frame.pose.copy()
+            self._speed = np.zeros(6)

@@ -1,0 +1,116 @@
+"""Per-frame odometry/SLAM pipeline — the TPU-native replacement for the
+reference's ROS node graph.
+
+The DDS topic plumbing, Queue pairing, and set_ready lock-step of
+`NodeRgbdAlignment`/`NodeMapping`/`NodeReplayer` collapse into a
+deterministic host loop (the replayer's lock-step IS a Python for-loop's
+semantics — SURVEY.md §2.9). Per frame (mirrors NodeMapping::processFrame,
+NodeMapping.cpp:142-180):
+
+  frame build (device pyramid) -> motion prediction -> dense alignment on
+  TPU -> keyframe policy -> map insert -> [keyframe backend: feature
+  tracking + windowed BA] -> trajectory append.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..alignment.aligner import RgbdAligner
+from ..config import PipelineConfig
+from ..core.camera import Camera
+from ..core.frame import create_frame
+from ..utils.log import get_logger
+from .keyframe import make_keyframe_selection
+from .map import HostFrame, Map
+from .motion_model import make_motion_prediction
+from .odometry import OdometryRgbd
+from .trajectory import Trajectory
+
+__all__ = ["OdometryPipeline"]
+
+
+class OdometryPipeline:
+    """Streaming odometry: feed (t_ns, intensity, depth) tuples, collect a
+    trajectory. Set `cfg.enable_mapping` for the full SLAM backend."""
+
+    def __init__(self, camera: Camera, cfg: PipelineConfig = PipelineConfig()):
+        self.cfg = cfg
+        self.camera = camera
+        self.map = Map()
+        self.aligner = RgbdAligner(cfg.alignment_config())
+        self.odometry = OdometryRgbd(
+            self.aligner,
+            self.map,
+            include_key_frame=cfg.include_key_frame,
+            track_key_frame=cfg.track_key_frame,
+        )
+        self.prediction = make_motion_prediction(cfg.prediction_model)
+        self.keyframe_selection = make_keyframe_selection(
+            cfg.keyframe_selection_method,
+            self.map,
+            period=cfg.keyframe_selection_idx_period,
+            min_visible_points=cfg.keyframe_selection_min_visible_points,
+            max_translation=cfg.keyframe_selection_max_translation,
+        )
+        self.trajectory = Trajectory()
+        self._log = get_logger("odometry")
+        self._tracking = None
+        self._ba = None
+        if cfg.enable_mapping:
+            from ..features.tracking import FeatureTracking
+            from ..ba.bundle_adjustment import BundleAdjustment
+
+            self._tracking = FeatureTracking()
+            self._ba = BundleAdjustment(max_iterations=cfg.ba_max_iterations)
+
+    def process_frame(
+        self, t_ns: int, intensity: np.ndarray, depth: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (pose world->cam 4x4, cov 6x6) for this frame."""
+        t0 = time.perf_counter()
+        device_frame = create_frame(
+            jnp.asarray(intensity, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            self.camera,
+            n_levels=self.cfg.pyramid_levels,
+        )
+        pred = self.prediction.predict(t_ns)
+        frame = HostFrame(frame=device_frame, t_ns=int(t_ns), pose=pred)
+
+        self.odometry.update(frame)
+        frame.pose = self.odometry.pose
+        frame.cov = self.odometry.cov
+        self.prediction.update(frame.pose, t_ns)
+
+        self.keyframe_selection.update(frame)
+        is_kf = self.keyframe_selection.is_keyframe() or self.map.last_kf() is None
+        self.map.insert(frame, is_kf)
+
+        if is_kf and self._tracking is not None:
+            try:
+                new_points = self._tracking.track(frame, self.map)
+                self.map.insert_points(new_points)
+                if self._ba is not None and len(self.map.keyframes()) >= 2:
+                    poses, points, err0, err1 = self._ba.optimize(self.map)
+                    if err1 < err0:
+                        self.map.update_poses(poses)
+                        self.map.update_points(points)
+                        frame.pose = self.map.keyframes()[0].pose
+            except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
+                self._log.warning("mapping backend failed: %s", exc)
+
+        self.trajectory.append(t_ns, frame.pose, frame.cov)
+        self._log.debug(
+            "frame t=%d kf=%s dt=%.1fms", t_ns, is_kf, 1e3 * (time.perf_counter() - t0)
+        )
+        return frame.pose, frame.cov
+
+    def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]) -> Trajectory:
+        for t_ns, intensity, depth in stream:
+            self.process_frame(t_ns, intensity, depth)
+        return self.trajectory

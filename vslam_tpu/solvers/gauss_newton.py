@@ -1,0 +1,234 @@
+"""Gauss-Newton and Levenberg-Marquardt as `lax.while_loop` solvers.
+
+Rebuild of reference `least_squares/src/GaussNewton.cpp:33-102` with its exact
+guard/rollback semantics, re-expressed as a single jit-compiled while loop
+over an arbitrary pytree optimization state (the reference's virtual
+`Problem` interface becomes a pair of closures):
+
+  - ``compute_ne(x) -> NormalEquations`` (the hot dense kernel)
+  - ``update_x(x, dx) -> x`` (e.g. compositional SE(3) update with -dx)
+
+Guard semantics mirrored from the reference:
+  * stop if nConstraints < nParameters            (GaussNewton.cpp:53-58)
+  * stop if det(A) non-finite or |det| < 1e-6     (GaussNewton.cpp:59-63)
+  * stop if chi2 increased vs previous iteration; the "rollback" keeps the
+    pre-iteration x (the reference's setX(row(i-1)) restores exactly that
+    value, GaussNewton.cpp:70-75)
+  * converged if i>0 and (|dx| < minStepSize or |max(b)| < minGradient or
+    |dChi2| < minReduction)                        (GaussNewton.cpp:86-91)
+    — note max(b), not max|b|: reference uses b.maxCoeff()
+  * NaN step: restore pre-iteration x and stop     (GaussNewton.cpp:93-98)
+
+The final covariance input is A of the last *accepted* normal equations
+(SE3Alignment.cpp:101 inverts exactly that matrix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .normal_equations import NormalEquations
+
+__all__ = ["SolverConfig", "SolverResult", "solve_gauss_newton", "solve_levenberg_marquardt"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Mirrors the reference GaussNewton ctor (GaussNewton.cpp:25-31):
+    minGradient and minReduction default to minStepSize, as the reference's
+    NodeMapping wiring does (solver.min_step_size / solver.max_iterations)."""
+
+    max_iterations: int = 100
+    min_step_size: float = 1e-11
+    min_gradient: float | None = None
+    min_reduction: float | None = None
+
+    @property
+    def _min_gradient(self) -> float:
+        return self.min_step_size if self.min_gradient is None else self.min_gradient
+
+    @property
+    def _min_reduction(self) -> float:
+        return self.min_step_size if self.min_reduction is None else self.min_reduction
+
+
+class SolverResult(NamedTuple):
+    x: Any  # final optimization state (pytree)
+    A: jax.Array  # (N, N) last accepted normal-equation matrix
+    b: jax.Array
+    chi2: jax.Array
+    iterations: jax.Array  # number of completed (accepted) iterations
+    valid: jax.Array  # bool: at least one iteration was accepted
+
+
+class _Carry(NamedTuple):
+    x: Any
+    chi2_prev: jax.Array
+    A_last: jax.Array
+    b_last: jax.Array
+    i: jax.Array
+    pushed: jax.Array  # accepted-iteration count
+    done: jax.Array
+
+
+def _select_tree(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda u, v: jnp.where(pred, u, v), a, b
+    )
+
+
+def solve_gauss_newton(
+    compute_ne: Callable[[Any], NormalEquations],
+    update_x: Callable[[Any, jax.Array], Any],
+    x0: Any,
+    n_params: int,
+    config: SolverConfig = SolverConfig(),
+) -> SolverResult:
+    ne0 = jax.eval_shape(compute_ne, x0)
+    dtype = ne0.A.dtype
+
+    def body(c: _Carry) -> _Carry:
+        ne = compute_ne(c.x)
+        det = jnp.linalg.det(ne.A)
+        stop_constraints = ne.n < n_params
+        stop_det = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-6)
+        chi2_increased = (c.pushed > 0) & (ne.chi2 > c.chi2_prev)
+        abort = stop_constraints | stop_det | chi2_increased
+
+        # 6x6 (or NxN) solve; A is symmetric positive semi-definite.
+        dx = jnp.linalg.solve(ne.A, ne.b)
+        step = jnp.linalg.norm(dx)
+        nan_step = ~jnp.isfinite(step)
+        x_new = update_x(c.x, dx)
+
+        d_chi2 = jnp.abs(ne.chi2 - c.chi2_prev)
+        converged = (c.pushed > 0) & (
+            (step < config.min_step_size)
+            | (jnp.abs(jnp.max(ne.b)) < config._min_gradient)
+            | (d_chi2 < config._min_reduction)
+        )
+
+        accepted = ~abort
+        # on abort or NaN keep the pre-iteration x
+        keep_old = abort | nan_step
+        x_next = _select_tree(keep_old, c.x, x_new)
+        A_next = jnp.where(accepted, ne.A, c.A_last)
+        b_next = jnp.where(accepted, ne.b, c.b_last)
+        chi2_next = jnp.where(accepted, ne.chi2, c.chi2_prev)
+        pushed_next = c.pushed + jnp.where(accepted, 1, 0)
+        done = abort | nan_step | converged
+        return _Carry(x_next, chi2_next, A_next, b_next, c.i + 1, pushed_next, done)
+
+    def cond(c: _Carry) -> jax.Array:
+        return (~c.done) & (c.i < config.max_iterations)
+
+    n = ne0.A.shape[-1]
+    init = _Carry(
+        x=x0,
+        chi2_prev=jnp.asarray(jnp.inf, dtype),
+        A_last=jnp.eye(n, dtype=dtype),
+        b_last=jnp.zeros((n,), dtype),
+        i=jnp.asarray(0, jnp.int32),
+        pushed=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = lax.while_loop(cond, body, init)
+    return SolverResult(
+        x=out.x,
+        A=out.A_last,
+        b=out.b_last,
+        chi2=out.chi2_prev,
+        iterations=out.pushed,
+        valid=out.pushed > 0,
+    )
+
+
+def solve_levenberg_marquardt(
+    compute_ne: Callable[[Any], NormalEquations],
+    update_x: Callable[[Any, jax.Array], Any],
+    x0: Any,
+    n_params: int,
+    config: SolverConfig = SolverConfig(),
+    lambda0: float = 1e-3,
+    lambda_up: float = 10.0,
+    lambda_down: float = 0.1,
+    max_lambda: float = 1e6,
+) -> SolverResult:
+    """Levenberg-Marquardt with multiplicative damping on diag(A).
+
+    The reference ships only Gauss-Newton in `least_squares` (its visuals
+    module has a leftover LM plot type); LM is provided here as the more
+    robust option for the BA backend and as a solver-API extension.
+    """
+    ne0 = jax.eval_shape(compute_ne, x0)
+    dtype = ne0.A.dtype
+    n = ne0.A.shape[-1]
+
+    class CarryLM(NamedTuple):
+        x: Any
+        chi2_prev: jax.Array
+        lam: jax.Array
+        A_last: jax.Array
+        b_last: jax.Array
+        i: jax.Array
+        pushed: jax.Array
+        done: jax.Array
+
+    def body(c: CarryLM) -> CarryLM:
+        ne = compute_ne(c.x)
+        stop_constraints = ne.n < n_params
+        damped = ne.A + c.lam * jnp.diag(jnp.diagonal(ne.A))
+        dx = jnp.linalg.solve(damped, ne.b)
+        x_new = update_x(c.x, dx)
+        chi2_new = compute_ne(x_new).chi2
+        improved = chi2_new < ne.chi2
+        step = jnp.linalg.norm(dx)
+        nan_step = ~jnp.isfinite(step) | ~jnp.isfinite(chi2_new)
+
+        accept = improved & ~nan_step & ~stop_constraints
+        x_next = _select_tree(accept, x_new, c.x)
+        lam_next = jnp.where(
+            accept,
+            jnp.maximum(c.lam * lambda_down, 1e-12),
+            jnp.minimum(c.lam * lambda_up, max_lambda),
+        )
+        converged = accept & (step < config.min_step_size)
+        done = stop_constraints | converged | (c.lam >= max_lambda)
+        return CarryLM(
+            x_next,
+            jnp.where(accept, chi2_new, c.chi2_prev),
+            lam_next,
+            jnp.where(accept, ne.A, c.A_last),
+            jnp.where(accept, ne.b, c.b_last),
+            c.i + 1,
+            c.pushed + jnp.where(accept, 1, 0),
+            done,
+        )
+
+    def cond(c: CarryLM) -> jax.Array:
+        return (~c.done) & (c.i < config.max_iterations)
+
+    init = CarryLM(
+        x=x0,
+        chi2_prev=jnp.asarray(jnp.inf, dtype),
+        lam=jnp.asarray(lambda0, dtype),
+        A_last=jnp.eye(n, dtype=dtype),
+        b_last=jnp.zeros((n,), dtype),
+        i=jnp.asarray(0, jnp.int32),
+        pushed=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = lax.while_loop(cond, body, init)
+    return SolverResult(
+        x=out.x,
+        A=out.A_last,
+        b=out.b_last,
+        chi2=out.chi2_prev,
+        iterations=out.pushed,
+        valid=out.pushed > 0,
+    )

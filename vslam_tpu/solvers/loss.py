@@ -1,0 +1,151 @@
+"""Robust M-estimator losses and residual scalers as pure JAX functions.
+
+Rebuild of reference `src/vslam/src/least_squares/src/{Loss,Scaler}.{h,cpp}`.
+The reference dispatches through virtual calls per residual; here each loss is
+a vectorized weight function applied to the whole (masked) residual image in
+one fused VPU pass. Loss selection is a static string resolved at trace time.
+
+Reference quirks reproduced deliberately (documented for parity):
+- `HuberLoss::computeWeight` (Loss.cpp:65-72) returns sign(r)/r = 1/|r| for
+  outliers (the conventional c/|r| is NOT what the reference computes).
+- `MedianScaler` (Scaler.cpp:21-35) uses sqrt(mean |r - med|) — an L1-based
+  pseudo-std, not a true standard deviation.
+- Scales are computed over the full interest-point residual vector including
+  zeros from currently-invisible points (InverseCompositional.cpp:105-137).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.image import masked_median
+
+__all__ = [
+    "LossConfig",
+    "Scale",
+    "TUKEY_C",
+    "compute_scale",
+    "compute_weights",
+    "tukey_weight",
+    "huber_weight",
+    "t_dist_weight",
+]
+
+TUKEY_C = 4.6851  # 95% asymptotic efficiency constant (Loss.h:70-72)
+
+
+class Scale(NamedTuple):
+    offset: jax.Array
+    scale: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Mirrors the reference's `loss.*` parameter tree
+    (NodeMapping.cpp:52-84, config/NodeMapping.yaml)."""
+
+    function: str = "None"  # None | Tukey | Huber | tdistribution
+    huber_c: float = 1.345
+    tdistribution_v: float = 5.0
+    # scaler pairing follows NodeMapping.cpp:73-84: Tukey/Huber -> median,
+    # tdistribution -> t-distribution fixed point.
+
+
+def tukey_weight(r: jax.Array, c: float = TUKEY_C) -> jax.Array:
+    """w(r) = (1 - (r/c)^2)^2 inside the cutoff, 0 outside (Loss.cpp:49-63)."""
+    rc = r / c
+    inlier = jnp.abs(r) < c
+    w = jnp.square(1.0 - rc * rc)
+    return jnp.where(inlier, w, jnp.zeros_like(w))
+
+
+def huber_weight(r: jax.Array, c: float = 1.345) -> jax.Array:
+    """Reference Loss.cpp:65-72: 1 inside, sign(r)/r = 1/|r| outside."""
+    inlier = jnp.abs(r) < c
+    safe = jnp.where(inlier, jnp.ones_like(r), r)
+    return jnp.where(inlier, jnp.ones_like(r), 1.0 / jnp.abs(safe))
+
+
+def t_dist_weight(r: jax.Array, v: float = 5.0) -> jax.Array:
+    """w(r) = (v+1)/(v+r^2) (Loss.cpp:92)."""
+    return (v + 1.0) / (v + r * r)
+
+
+def _median_scale(r: jax.Array, mask: jax.Array) -> Scale:
+    """MedianScaler (Scaler.cpp:21-35): offset = median, scale =
+    sqrt(sum|r - med| / (n - 1))."""
+    med = masked_median(r, mask)
+    n = jnp.sum(mask).astype(r.dtype)
+    dev = jnp.sum(jnp.where(mask, jnp.abs(r - med), 0.0))
+    std = jnp.sqrt(dev / jnp.maximum(n - 1.0, 1.0))
+    std = jnp.where(std > 0, std, jnp.ones_like(std))
+    return Scale(med, std)
+
+
+def _mean_scale(r: jax.Array, mask: jax.Array) -> Scale:
+    """MeanScaler (Scaler.cpp:37-47)."""
+    n = jnp.sum(mask).astype(r.dtype)
+    n_safe = jnp.maximum(n, 1.0)
+    mean = jnp.sum(jnp.where(mask, r, 0.0)) / n_safe
+    dev = jnp.sum(jnp.where(mask, jnp.abs(r - mean), 0.0))
+    std = jnp.sqrt(dev / jnp.maximum(n - 1.0, 1.0))
+    empty = n < 1
+    return Scale(
+        jnp.where(empty, jnp.zeros_like(mean), mean),
+        jnp.where(empty | (std <= 0), jnp.ones_like(std), std),
+    )
+
+
+def _t_dist_scale(
+    r: jax.Array,
+    mask: jax.Array,
+    v: float = 5.0,
+    max_iterations: int = 30,
+    min_step_size: float = 1e-5,
+) -> Scale:
+    """ScalerTDistribution (Scaler.cpp:49-67): fixed-point iteration
+    sigma^2 <- mean_i r_i^2 (v+1)/(v + (r_i/sigma)^2), as a lax.while_loop."""
+    n = jnp.maximum(jnp.sum(mask).astype(r.dtype), 1.0)
+    r2 = jnp.where(mask, r * r, 0.0)
+
+    def cond(state):
+        sigma, step, it = state
+        return (it < max_iterations) & (step > min_step_size)
+
+    def body(state):
+        sigma, _, it = state
+        sigma2 = jnp.maximum(sigma * sigma, 1e-24)
+        s = jnp.sum(r2 * (v + 1.0) / (v + r2 / sigma2))
+        sigma_new = jnp.sqrt(s / n)
+        return sigma_new, jnp.abs(sigma - sigma_new), it + 1
+
+    one = jnp.asarray(1.0, r.dtype)
+    sigma, _, _ = lax.while_loop(
+        cond, body, (one, jnp.asarray(jnp.inf, r.dtype), jnp.asarray(0))
+    )
+    return Scale(jnp.zeros_like(sigma), jnp.maximum(sigma, 1e-12))
+
+
+def compute_scale(cfg: LossConfig, r: jax.Array, mask: jax.Array) -> Scale:
+    """Residual standardization, dispatched statically on the loss kind."""
+    if cfg.function in ("Tukey", "Huber"):
+        return _median_scale(r, mask)
+    if cfg.function == "tdistribution":
+        return _t_dist_scale(r, mask, v=cfg.tdistribution_v)
+    one = jnp.asarray(1.0, r.dtype)
+    return Scale(jnp.zeros_like(one), one)
+
+
+def compute_weights(cfg: LossConfig, r_scaled: jax.Array) -> jax.Array:
+    if cfg.function == "Tukey":
+        return tukey_weight(r_scaled)
+    if cfg.function == "Huber":
+        return huber_weight(r_scaled, cfg.huber_c)
+    if cfg.function == "tdistribution":
+        return t_dist_weight(r_scaled, cfg.tdistribution_v)
+    return jnp.ones_like(r_scaled)
