@@ -133,3 +133,29 @@ def test_prior_pulls_toward_prediction_when_no_texture():
     # prior information dominates; estimate stays near the prediction
     err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_pred)))
     assert err < 0.05, f"drifted from prior by {err}"
+
+
+def test_compact_matches_dense():
+    """The fixed-capacity interest-point compaction must reproduce the dense
+    masked computation exactly (same selected set when under budget)."""
+    import dataclasses
+
+    xi_true = np.array([0.015, -0.008, 0.01, 0.004, -0.006, 0.003])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    base = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear",
+    )
+    results = {}
+    for name, mp in [("dense", 0), ("compact", 4096)]:
+        cfg = dataclasses.replace(base, max_points=mp)
+        pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+        assert ok
+        results[name] = pose_est
+        err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+        assert err < 0.01, f"{name} err {err}"
+    # both paths converge to (nearly) the same pose; compaction may drop
+    # points beyond the 4096 budget at the finest level, hence the tolerance
+    d = np.linalg.norm(lie_np.log(lie_np.relative(results["dense"], results["compact"])))
+    assert d < 5e-3, d

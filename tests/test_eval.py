@@ -86,8 +86,10 @@ def test_trajectory_file_roundtrip(tmp_path):
     tum.write_trajectory(path, gt)
     back = tum.read_trajectory(path)
     assert len(back) == len(gt)
-    for t in gt:
-        np.testing.assert_allclose(back[t], gt[t], atol=1e-5)
+    # timestamps are serialized at 9 decimals; match by order, compare poses
+    for (t0, T0), (t1, T1) in zip(sorted(gt.items()), sorted(back.items())):
+        assert abs(t0 - t1) < 1e-8
+        np.testing.assert_allclose(T1, T0, atol=1e-5)
 
 
 def test_trajectory_interpolation():

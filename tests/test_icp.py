@@ -1,0 +1,76 @@
+"""Dense projective ICP tests: synthetic translation/rotation recovery from
+depth-only geometry (mirrors reference `test_odometry_icp.cpp` intent)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vslam_tpu.alignment.icp import IcpAligner, IcpConfig, align_icp
+from vslam_tpu.core import lie_np
+from vslam_tpu.core.camera import Camera
+from vslam_tpu.core.frame import create_frame
+from vslam_tpu.core.se3 import SE3
+from vslam_tpu.io import synthetic
+from vslam_tpu.solvers import SolverConfig
+
+H, W = 96, 128
+FX = 110.0
+K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+CAM = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+
+
+def bumpy_scene():
+    """ICP needs non-planar geometry (a single plane leaves 3 unconstrained
+    dofs); use two tilted planes rendered separately and composited."""
+    s1 = synthetic.PlaneScene(normal=(0.15, 0.0, 1.0), d=2.0, seed=1)
+    s2 = synthetic.PlaneScene(normal=(-0.2, 0.15, 1.0), d=1.6, seed=2)
+    return s1, s2
+
+
+def render_composite(pose):
+    s1, s2 = bumpy_scene()
+    i1, d1 = synthetic.render(K, pose, (H, W), s1)
+    i2, d2 = synthetic.render(K, pose, (H, W), s2)
+    # nearer surface wins
+    take2 = (d2 > 0) & ((d2 < d1) | (d1 <= 0))
+    d = np.where(take2, d2, d1)
+    i = np.where(take2, i2, i1)
+    return i.astype(np.float32), d.astype(np.float32)
+
+
+def make_frame(pose):
+    i, d = render_composite(pose)
+    return create_frame(jnp.asarray(i), jnp.asarray(d), CAM, n_levels=3)
+
+
+@pytest.mark.parametrize("xi_true", [
+    np.array([0.02, -0.01, 0.01, 0.0, 0.0, 0.0]),       # translation
+    np.array([0.0, 0.0, 0.0, 0.008, -0.01, 0.006]),     # rotation
+    np.array([0.015, 0.01, -0.01, 0.005, 0.006, -0.004]),  # both
+])
+def test_icp_recovery(xi_true):
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    cfg = IcpConfig(solver=SolverConfig(max_iterations=30, min_step_size=1e-7))
+    rel0 = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+    rel, cov, ok = align_icp(f_ref, f_cur, rel0, cfg)
+    assert bool(ok)
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(rel.R, np.float64)
+    T[:3, 3] = np.asarray(rel.t, np.float64)
+    u, _, vt = np.linalg.svd(T[:3, :3])
+    T[:3, :3] = u @ vt
+    err = np.linalg.norm(lie_np.log(T) - xi_true)
+    assert err < 0.012, f"icp error {err} for xi {xi_true}"
+
+
+def test_icp_aligner_interface():
+    xi = np.array([0.01, 0.0, 0.005, 0.0, 0.004, 0.0])
+    pose_cur = lie_np.exp(xi)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    aligner = IcpAligner(IcpConfig(solver=SolverConfig(max_iterations=25, min_step_size=1e-7)))
+    pose, cov, ok = aligner.align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose, pose_cur)))
+    assert err < 0.012, err
+    assert cov.shape == (6, 6)

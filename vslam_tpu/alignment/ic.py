@@ -42,6 +42,7 @@ from ..core.frame import Frame
 from ..core.se3 import SE3
 from ..solvers import loss as loss_mod
 from ..solvers.gauss_newton import SolverConfig, SolverResult, solve_gauss_newton
+from ..solvers.linalg6 import inv_psd
 from ..solvers.normal_equations import NormalEquations
 
 __all__ = ["AlignmentConfig", "ICLevelData", "precompute_level", "level_normal_equations", "align"]
@@ -62,6 +63,12 @@ class AlignmentConfig:
     interpolation: str = "bilinear"  # sub-pixel sampling (default); "nearest" = strict reference parity (InverseCompositional.cpp:119-120)
     # renormalize R onto SO(3) every iteration (f32 drift control; negligible cost)
     orthonormalize: bool = True
+    # Static interest-point budget at the finest level (halved 4x per level).
+    # The reference builds exactly such a compacted list (variable-length,
+    # SE3Alignment.cpp:83-94); on TPU the list has a fixed capacity and the
+    # per-iteration work scales with it instead of with the full pixel grid.
+    # 0 disables compaction (fully dense masks).
+    max_points: int = 32768
 
 
 class ICLevelData(NamedTuple):
@@ -105,6 +112,7 @@ def precompute_level(
     depth: jax.Array,
     cam: Camera,
     min_gradient: float,
+    max_points: int = 0,
 ) -> ICLevelData:
     """Interest mask, point cloud and steepest-descent rows for one level.
 
@@ -116,6 +124,15 @@ def precompute_level(
     H, W = intensity.shape[-2], intensity.shape[-1]
     batch = intensity.shape[:-2]
     dtype = intensity.dtype
+    P = H * W
+
+    if max_points and max_points < P:
+        fn = lambda i, gx, gy, d: _precompute_compact(
+            i, gx, gy, d, cam, min_gradient, max_points
+        )
+        for _ in batch:
+            fn = jax.vmap(fn)
+        return fn(intensity, dIx, dIy, depth)
 
     grad2 = dIx * dIx + dIy * dIy
     depth_valid = jnp.isfinite(depth) & (depth > 0.0)
@@ -132,13 +149,56 @@ def precompute_level(
     mask = mask & (pcl[..., 2] > 0.0)
     J = jnp.where(mask[..., None], J, jnp.zeros_like(J))
 
-    P = H * W
     return ICLevelData(
         pcl=pcl.reshape(*batch, P, 3),
         J=J.reshape(*batch, P, 6),
         templ=intensity.reshape(*batch, P),
         mask=mask.reshape(*batch, P),
         n_constraints=jnp.sum(mask.reshape(*batch, P), axis=-1).astype(dtype),
+    )
+
+
+def _precompute_compact(
+    intensity: jax.Array,  # (H, W)
+    dIx: jax.Array,
+    dIy: jax.Array,
+    depth: jax.Array,
+    cam: Camera,
+    min_gradient: float,
+    n_sel: int,
+) -> ICLevelData:
+    """Interest points gathered into a fixed-capacity list — the TPU version
+    of the reference's interest-point vector (SE3Alignment.cpp:83-94):
+    steepest-descent rows and the point cloud are built only for the
+    selected points, and every Gauss-Newton iteration then scales with the
+    budget, not the pixel grid. Points beyond capacity are dropped (rare at
+    reference thresholds); padding rows carry mask=False."""
+    H, W = intensity.shape
+    dtype = intensity.dtype
+    grad2 = dIx * dIx + dIy * dIy
+    depth_valid = jnp.isfinite(depth) & (depth > 0.0)
+    mask = ((grad2 >= min_gradient * min_gradient) & depth_valid).reshape(-1)
+
+    (idx,) = jnp.nonzero(mask, size=n_sel, fill_value=-1)
+    sel = idx >= 0
+    idx = jnp.maximum(idx, 0)
+
+    u = (idx % W).astype(dtype)
+    v = (idx // W).astype(dtype)
+    z = jnp.where(sel, depth.reshape(-1)[idx], 0.0)
+    pcl = cam_mod.backproject(cam, jnp.stack([u, v], axis=-1), z)
+    gx = dIx.reshape(-1)[idx]
+    gy = dIy.reshape(-1)[idx]
+    Jw = _projection_jacobian(pcl, fx=cam.fx, fy=cam.fy)  # (N, 2, 6)
+    J = gx[:, None] * Jw[..., 0, :] + gy[:, None] * Jw[..., 1, :]
+    sel = sel & (pcl[..., 2] > 0.0)
+    J = jnp.where(sel[:, None], J, 0.0)
+    return ICLevelData(
+        pcl=pcl,
+        J=J,
+        templ=intensity.reshape(-1)[idx],
+        mask=sel,
+        n_constraints=jnp.sum(mask).astype(dtype),
     )
 
 
@@ -198,10 +258,18 @@ def _frame_normal_equations(
     chi2 = chi2 * inv_n
 
     if cfg.include_prior and x_pred is not None:
+        # MotionPrior (SE3Alignment.cpp:37-47): photometric NE scaled by
+        # 1/255^2, then a unit-information Gaussian prior on the predicted
+        # relative pose. NOTE the sign: the IC solver applies updates
+        # NEGATED (updateCompositional(-dx)), so pulling toward the
+        # prediction requires b += (x - x_pred); the reference adds
+        # (x_pred - x), which under its own negated update pushes AWAY from
+        # the prediction — a latent sign bug that its fr2-scale photometric
+        # term masks. We implement the correctly-signed prior.
         normalizer = 1.0 / (255.0 * 255.0)
         x = se3.log(rel)
         A = A * normalizer + jnp.eye(6, dtype=dtype)
-        b = b * normalizer + (x_pred - x)
+        b = b * normalizer + (x - x_pred)
 
     return NormalEquations(A, b, chi2, n)
 
@@ -290,6 +358,7 @@ def align(
         # per-frame cameras are identical across the F axis (same rig);
         # take frame 0's intrinsics as scalars.
         cam_ref = Camera(*(jnp.reshape(c, (-1,))[0] for c in ref_frames.cameras[level]))
+        budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
         data = precompute_level(
             ref_frames.intensity[level],
             ref_frames.dIx[level],
@@ -297,11 +366,12 @@ def align(
             ref_frames.depth[level],
             cam_ref,
             cfg.min_gradient,
+            max_points=budget,
         )
         cam_cur = cur_frame.cameras[level]
         rel, result = solve_level(
             data, rel, cur_frame.intensity[level], cam_cur, cfg, x_pred
         )
-        cov = jnp.where(result.valid, jnp.linalg.inv(result.A), cov)
+        cov = jnp.where(result.valid, inv_psd(result.A), cov)
         valid_any = valid_any | result.valid
     return rel, cov, valid_any

@@ -1,0 +1,215 @@
+"""Experiment driver CLI — the ROS-free replacement for the reference's
+`script/evaluate.py` + `launch/evaluation.launch.py` composition.
+
+Subcommands:
+  odometry   run VO/SLAM over a TUM sequence directory -> TUM trajectory file
+             (the NodeReplayer/NodeRgbdAlignment/NodeResultWriter pipeline in
+             one deterministic process)
+  evaluate   ATE + RPE of an estimated trajectory vs ground truth, writing
+             rpe_summary/ate_summary like the reference driver
+             (script/evaluate.py:60-75)
+  synthetic  dataset-free end-to-end check on the analytic plane scene
+  bench      batched-alignment throughput (same path as bench.py)
+
+Provenance: like the reference's meta.yaml (script/evaluate.py:51-55), the
+odometry command records config + git sha next to the trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _cmd_odometry(args) -> int:
+    import numpy as np
+
+    from ..config import PipelineConfig, load_yaml_config
+    from ..core.camera import Camera
+    from ..io import tum
+    from ..odometry.pipeline import OdometryPipeline
+    from ..utils.log import configure, get_logger
+
+    configure(args.log_level)
+    log = get_logger("system")
+    cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
+    if args.mapping:
+        cfg = dataclasses.replace(cfg, enable_mapping=True)
+    ds = tum.TumDataset(args.dataset, max_frames=args.max_frames)
+    fx, fy, cx, cy = ds.intrinsics()
+    pipeline = OdometryPipeline(Camera.create(fx, fy, cx, cy), cfg)
+    log.warning("tracking %d frames from %s", len(ds), args.dataset)
+
+    t0 = time.perf_counter()
+    n = 0
+    for t_ns, intensity, depth in ds:
+        pipeline.process_frame(t_ns, intensity, depth)
+        n += 1
+        if n % 50 == 0:
+            fps = n / (time.perf_counter() - t0)
+            log.warning("frame %d/%d (%.1f fps)", n, len(ds), fps)
+    elapsed = time.perf_counter() - t0
+
+    est = {t / 1e9: np.linalg.inv(p) for t, p in pipeline.trajectory.items()}
+    # (cam->world TUM convention; inv is exact for rigid transforms)
+    out = args.out or "trajectory.txt"
+    tum.write_trajectory(out, est)
+    meta = {
+        "dataset": args.dataset,
+        "frames": n,
+        "elapsed_s": round(elapsed, 2),
+        "fps": round(n / elapsed, 2),
+        "config": dataclasses.asdict(cfg),
+        "git_sha": _git_sha(),
+    }
+    with open(out + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps({"frames": n, "fps": meta["fps"], "trajectory": out}))
+
+    if ds.groundtruth and not args.no_eval:
+        from . import metrics
+
+        res = metrics.summarize(ds.groundtruth, est)
+        print(json.dumps(res))
+    return 0
+
+
+def _cmd_evaluate(args) -> int:
+    from ..io import tum
+    from . import metrics
+
+    gt = tum.read_trajectory(args.gt)
+    est = tum.read_trajectory(args.algo)
+    ate, n_ate = metrics.ate_rmse(gt, est, max_difference=args.max_difference)
+    rpe_t, rpe_r, n_rpe = metrics.rpe(
+        gt, est, fixed_delta=args.fixed_delta, max_difference=args.max_difference
+    )
+    out_dir = os.path.dirname(os.path.abspath(args.algo))
+    if args.plot:
+        from . import plot
+
+        plot.plot_trajectory(gt, est, os.path.join(out_dir, "traj.png"))
+        plot.plot_rpe(gt, est, os.path.join(out_dir, "rpe.png"), fixed_delta=args.fixed_delta)
+    with open(os.path.join(out_dir, "ate_summary.txt"), "w") as f:
+        f.write(f"absolute_translational_error.rmse {ate:.6f} m (pairs: {n_ate})\n")
+    with open(os.path.join(out_dir, "rpe_summary.txt"), "w") as f:
+        f.write(
+            f"translational_error.rmse {rpe_t:.6f} m\n"
+            f"rotational_error.rmse {rpe_r:.6f} rad\n"
+            f"pairs {n_rpe}\n"
+        )
+    print(
+        json.dumps(
+            {
+                "ate_rmse_m": ate,
+                "rpe_trans_rmse_m": rpe_t,
+                "rpe_rot_rmse_rad": rpe_r,
+                "n_ate": n_ate,
+                "n_rpe": n_rpe,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_synthetic(args) -> int:
+    import numpy as np
+
+    from ..config import PipelineConfig
+    from ..core import lie_np
+    from ..core.camera import Camera
+    from ..io import synthetic
+    from ..odometry.pipeline import OdometryPipeline
+    from . import metrics
+
+    H, W, FX = args.height, args.width, args.fx
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(args.frames, trans_amp=0.08, rot_amp=0.03)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    dt_ns = int(1e9 / 30)
+
+    cfg = PipelineConfig(
+        features_min_gradient=10.0,
+        solver_max_iterations=50,
+        solver_min_step_size=1e-7,
+        enable_mapping=args.mapping,
+    )
+    pipeline = OdometryPipeline(Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2), cfg)
+    t0 = time.perf_counter()
+    for i, p in enumerate(poses):
+        intensity, depth = synthetic.render(K, p, (H, W))
+        pipeline.process_frame(i * dt_ns, intensity, depth)
+    elapsed = time.perf_counter() - t0
+
+    gt = {i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+    est = {t / 1e9: lie_np.inv(p) for t, p in pipeline.trajectory.items()}
+    ate, _ = metrics.ate_rmse(gt, est)
+    rpe_t, rpe_r, _ = metrics.rpe(gt, est, fixed_delta=min(0.4, args.frames / 60))
+    print(
+        json.dumps(
+            {
+                "frames": args.frames,
+                "fps": round(args.frames / elapsed, 2),
+                "ate_rmse_m": round(ate, 6),
+                "rpe_trans_rmse_m": round(rpe_t, 6),
+                "landmarks": len(pipeline.map.points()),
+            }
+        )
+    )
+    return 0
+
+
+def _git_sha() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True, timeout=5
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vslam-run", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("odometry", help="track a TUM RGB-D sequence")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--config", default=None, help="reference-style YAML params")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--mapping", action="store_true", help="enable SLAM backend (features + BA)")
+    p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--log-level", default="WARNING")
+    p.set_defaults(fn=_cmd_odometry)
+
+    p = sub.add_parser("evaluate", help="ATE/RPE of trajectory vs ground truth")
+    p.add_argument("--gt", required=True)
+    p.add_argument("--algo", required=True)
+    p.add_argument("--fixed-delta", type=float, default=1.0)
+    p.add_argument("--max-difference", type=float, default=0.02)
+    p.add_argument("--plot", action="store_true", help="write traj/rpe PNGs next to --algo")
+    p.set_defaults(fn=_cmd_evaluate)
+
+    p = sub.add_parser("synthetic", help="dataset-free end-to-end run")
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--fx", type=float, default=110.0)
+    p.add_argument("--mapping", action="store_true")
+    p.set_defaults(fn=_cmd_synthetic)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

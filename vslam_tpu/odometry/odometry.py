@@ -17,7 +17,7 @@ from ..alignment.aligner import RgbdAligner
 from ..core import lie_np
 from .map import HostFrame, Map
 
-__all__ = ["OdometryRgbd"]
+__all__ = ["OdometryRgbd", "OdometryIcp"]
 
 _NS = 1e9
 
@@ -75,5 +75,46 @@ class OdometryRgbd:
         else:
             # alignment failure -> keep the motion-predicted pose
             # (Odometry.cpp:52-56)
+            self._pose = frame.pose.copy()
+            self._speed = np.zeros(6)
+
+
+class OdometryIcp:
+    """Geometric-odometry front end using the dense projective ICP aligner
+    (reference OdometryIcp, Odometry.cpp:65-87): aligns each frame against
+    the last frame only."""
+
+    def __init__(self, aligner, slam_map: Map):
+        self._aligner = aligner
+        self._map = slam_map
+        self._pose: Optional[np.ndarray] = None
+        self._cov = np.eye(6)
+        self._speed = np.zeros(6)
+
+    @property
+    def pose(self):
+        return self._pose
+
+    @property
+    def cov(self):
+        return self._cov
+
+    @property
+    def speed(self):
+        return self._speed
+
+    def update(self, frame: HostFrame) -> None:
+        last = self._map.last_frame()
+        if last is None:
+            self._pose = frame.pose.copy()
+            self._speed = np.zeros(6)
+            return
+        pose, cov, ok = self._aligner.align([last.frame], [last.pose], frame.frame, frame.pose)
+        if ok:
+            self._pose, self._cov = pose, cov
+            dt = (frame.t_ns - last.t_ns) / _NS
+            if dt > 0:
+                self._speed = lie_np.log(lie_np.relative(last.pose, pose)) / dt
+        else:
             self._pose = frame.pose.copy()
             self._speed = np.zeros(6)

@@ -97,7 +97,7 @@ class OdometryPipeline:
                 self.map.insert_points(new_points)
                 if self._ba is not None and len(self.map.keyframes()) >= 2:
                     poses, points, err0, err1 = self._ba.optimize(self.map)
-                    if err1 < err0:
+                    if err1 < err0 and self._ba_sane(poses):
                         self.map.update_poses(poses)
                         self.map.update_points(points)
                         frame.pose = self.map.keyframes()[0].pose
@@ -109,6 +109,24 @@ class OdometryPipeline:
             "frame t=%d kf=%s dt=%.1fms", t_ns, is_kf, 1e3 * (time.perf_counter() - t0)
         )
         return frame.pose, frame.cov
+
+    def _ba_sane(self, poses, max_translation: float = 0.3, max_rotation: float = 0.3) -> bool:
+        """Reject BA write-backs that move any keyframe implausibly far from
+        its odometry estimate — a wrong-correspondence landmark can minimize
+        reprojection chi2 while wrecking the trajectory (seen with weak
+        texture); the odometry poses are trusted to this tolerance."""
+        from ..core import lie_np
+
+        by_id = {f.id: f for f in self.map.keyframes()}
+        for fid, T in poses.items():
+            f = by_id.get(fid)
+            if f is None:
+                continue
+            xi = lie_np.log(lie_np.relative(f.pose, T))
+            if np.linalg.norm(xi[:3]) > max_translation or np.linalg.norm(xi[3:]) > max_rotation:
+                self._log.warning("BA rejected: frame %d moved %.3f", fid, np.linalg.norm(xi[:3]))
+                return False
+        return True
 
     def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]) -> Trajectory:
         for t_ns, intensity, depth in stream:

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .linalg6 import cholesky_det_solve, cholesky_solve
 from .normal_equations import NormalEquations
 
 __all__ = ["SolverConfig", "SolverResult", "solve_gauss_newton", "solve_levenberg_marquardt"]
@@ -47,6 +48,12 @@ class SolverConfig:
     min_step_size: float = 1e-11
     min_gradient: float | None = None
     min_reduction: float | None = None
+    # TPU/f32 extension (no reference equivalent): also stop when the chi2
+    # improvement falls below this FRACTION of the current chi2. The
+    # reference's absolute thresholds are tuned for f64 and are unreachable
+    # in f32, so without this the loop always burns its full budget. None
+    # disables (strict parity).
+    min_relative_reduction: float | None = None
 
     @property
     def _min_gradient(self) -> float:
@@ -94,14 +101,13 @@ def solve_gauss_newton(
 
     def body(c: _Carry) -> _Carry:
         ne = compute_ne(c.x)
-        det = jnp.linalg.det(ne.A)
+        # unrolled Cholesky: solve + determinant in one straight-line pass
+        # (jnp.linalg.det/solve lower to sequential LU while-loops on TPU)
+        dx, det = cholesky_det_solve(ne.A, ne.b)
         stop_constraints = ne.n < n_params
         stop_det = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-6)
         chi2_increased = (c.pushed > 0) & (ne.chi2 > c.chi2_prev)
         abort = stop_constraints | stop_det | chi2_increased
-
-        # 6x6 (or NxN) solve; A is symmetric positive semi-definite.
-        dx = jnp.linalg.solve(ne.A, ne.b)
         step = jnp.linalg.norm(dx)
         nan_step = ~jnp.isfinite(step)
         x_new = update_x(c.x, dx)
@@ -112,6 +118,11 @@ def solve_gauss_newton(
             | (jnp.abs(jnp.max(ne.b)) < config._min_gradient)
             | (d_chi2 < config._min_reduction)
         )
+        if config.min_relative_reduction is not None:
+            converged = converged | (
+                (c.pushed > 0)
+                & (d_chi2 < config.min_relative_reduction * jnp.abs(ne.chi2))
+            )
 
         accepted = ~abort
         # on abort or NaN keep the pre-iteration x
@@ -183,7 +194,7 @@ def solve_levenberg_marquardt(
         ne = compute_ne(c.x)
         stop_constraints = ne.n < n_params
         damped = ne.A + c.lam * jnp.diag(jnp.diagonal(ne.A))
-        dx = jnp.linalg.solve(damped, ne.b)
+        dx = cholesky_solve(damped, ne.b)
         x_new = update_x(c.x, dx)
         chi2_new = compute_ne(x_new).chi2
         improved = chi2_new < ne.chi2

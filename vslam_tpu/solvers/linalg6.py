@@ -1,0 +1,112 @@
+"""Unrolled small-matrix linear algebra for TPU.
+
+`jnp.linalg.det` / `solve` / `cholesky` on tiny matrices lower to XLA
+While-loops with dynamic slices (LU with pivoting) — on TPU each such op is
+a latency-bound sequential chain that dominates the Gauss-Newton iteration
+(the actual dense image work is microseconds). These fully-unrolled
+routines compile to straight-line VPU code and batch over leading axes.
+
+For the normal-equation systems here, A = J^T W J (+ prior) is symmetric
+positive semi-definite, so Cholesky is the right factorization; its pivots
+give the determinant for the reference's conditioning guard
+(GaussNewton.cpp:59-63) for free.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cholesky_solve", "cholesky_det_solve", "inv_psd"]
+
+
+def _chol_factor(A: jax.Array):
+    """Unrolled Cholesky of (..., N, N); returns the list-of-lists lower
+    factor entries (None above the diagonal) without forming a matrix."""
+    N = A.shape[-1]
+    L = [[None] * N for _ in range(N)]
+    for j in range(N):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        # clamp: keeps straight-line code finite for indefinite inputs; the
+        # caller's det/finite guard rejects those systems
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, N):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    return L
+
+
+def cholesky_det_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Solve A x = b for SPD A (..., N, N) and return (x, det(A)).
+
+    det(A) = prod(diag(L))^2 — used for the |det| >= 1e-6 Hessian guard.
+    Indefinite A yields a clamped factorization; the caller must gate on the
+    returned det / residual finiteness (matching the reference's behavior of
+    aborting on bad Hessians rather than solving them).
+    """
+    N = A.shape[-1]
+    L = _chol_factor(A)
+    det_sqrt = L[0][0]
+    for j in range(1, N):
+        det_sqrt = det_sqrt * L[j][j]
+    det = det_sqrt * det_sqrt
+
+    # forward substitution L y = b
+    y = [None] * N
+    for i in range(N):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * N
+    for i in reversed(range(N)):
+        s = y[i]
+        for k in range(i + 1, N):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1), det
+
+
+def cholesky_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    return cholesky_det_solve(A, b)[0]
+
+
+def inv3(A: jax.Array) -> jax.Array:
+    """Closed-form (adjugate) inverse of (..., 3, 3) — replaces batched
+    jnp.linalg.inv (LU while-loop) for the BA point blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    rows = [
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
+def inv_psd(A: jax.Array) -> jax.Array:
+    """Inverse of an SPD matrix via N unrolled solves (columns of I)."""
+    N = A.shape[-1]
+    eye = jnp.eye(N, dtype=A.dtype)
+    cols = [cholesky_solve(A, jnp.broadcast_to(eye[i], A.shape[:-2] + (N,))) for i in range(N)]
+    return jnp.stack(cols, axis=-1)
