@@ -20,21 +20,26 @@ CAM = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
 
 
 def bumpy_scene():
-    """ICP needs non-planar geometry (a single plane leaves 3 unconstrained
-    dofs); use two tilted planes rendered separately and composited."""
-    s1 = synthetic.PlaneScene(normal=(0.15, 0.0, 1.0), d=2.0, seed=1)
-    s2 = synthetic.PlaneScene(normal=(-0.2, 0.15, 1.0), d=1.6, seed=2)
-    return s1, s2
+    """Point-to-plane ICP needs >= 3 independent surface normals to constrain
+    all translations (two planes leave the n1 x n2 direction free); composite
+    three tilted planes."""
+    return [
+        synthetic.PlaneScene(normal=(0.35, 0.0, 1.0), d=2.0, seed=1),
+        synthetic.PlaneScene(normal=(-0.3, 0.25, 1.0), d=1.6, seed=2),
+        synthetic.PlaneScene(normal=(0.1, -0.4, 1.0), d=1.8, seed=3),
+    ]
 
 
 def render_composite(pose):
-    s1, s2 = bumpy_scene()
-    i1, d1 = synthetic.render(K, pose, (H, W), s1)
-    i2, d2 = synthetic.render(K, pose, (H, W), s2)
-    # nearer surface wins
-    take2 = (d2 > 0) & ((d2 < d1) | (d1 <= 0))
-    d = np.where(take2, d2, d1)
-    i = np.where(take2, i2, i1)
+    i, d = None, None
+    for s in bumpy_scene():
+        ii, dd = synthetic.render(K, pose, (H, W), s)
+        if d is None:
+            i, d = ii, dd
+        else:
+            take = (dd > 0) & ((dd < d) | (d <= 0))  # nearer surface wins
+            d = np.where(take, dd, d)
+            i = np.where(take, ii, i)
     return i.astype(np.float32), d.astype(np.float32)
 
 

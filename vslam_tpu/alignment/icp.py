@@ -99,10 +99,12 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
         J = J * w[:, None]
         A = J.T @ (J)
         b = J.T @ (r * w)
-        # normalize like the photometric NE for consistent guard thresholds
+        # NOTE: unlike the photometric NE, A is NOT normalized by the
+        # constraint count — point-to-plane entries are O(1) (unit normals),
+        # and dividing by thousands of points would push det(A) under the
+        # solver's 1e-6 Hessian guard for perfectly well-posed geometry.
         nc = jnp.sum(w)
-        inv_n = jnp.where(nc > 1, 1.0 / jnp.maximum(nc, 1.0), 1.0)
-        return NormalEquations(A * inv_n, b * inv_n, jnp.sum(w * r * r) * inv_n, nc)
+        return NormalEquations(A, b, jnp.sum(w * r * r), nc)
 
     def update(delta: SE3, dx: jax.Array) -> SE3:
         return se3.orthonormalize(se3.compose(se3.exp(-dx), delta))

@@ -40,7 +40,12 @@ def _cmd_odometry(args) -> int:
     cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
-    ds = tum.TumDataset(args.dataset, max_frames=args.max_frames)
+    if args.format == "kitti":
+        from ..io.kitti import KittiDataset
+
+        ds = KittiDataset(args.dataset, sequence=args.sequence, max_frames=args.max_frames)
+    else:
+        ds = tum.TumDataset(args.dataset, max_frames=args.max_frames)
     fx, fy, cx, cy = ds.intrinsics()
     pipeline = OdometryPipeline(Camera.create(fx, fy, cx, cy), cfg)
     log.warning("tracking %d frames from %s", len(ds), args.dataset)
@@ -183,6 +188,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("odometry", help="track a TUM RGB-D sequence")
     p.add_argument("--dataset", required=True)
+    p.add_argument("--format", choices=["tum", "kitti"], default="tum")
+    p.add_argument("--sequence", default="00", help="KITTI sequence id")
     p.add_argument("--out", default=None)
     p.add_argument("--config", default=None, help="reference-style YAML params")
     p.add_argument("--max-frames", type=int, default=None)

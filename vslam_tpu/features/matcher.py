@@ -96,3 +96,22 @@ def ratio_match(
     if mask_q is not None:
         valid = valid & mask_q
     return MatchResult(idx=idx, distance=best, valid=valid)
+
+
+def fundamental_matrix(K_ref: jax.Array, rel: "jax.Array", K_cur: jax.Array) -> jax.Array:
+    """F from the relative transform cur<-ref and intrinsics (reference
+    algorithm.cpp computeF): F = Kcur^-T [t]x R Kref^-1. `rel` is a 4x4 or
+    (R, t) SE3; K are 3x3 intrinsic matrices."""
+    if hasattr(rel, "R"):
+        R, t = rel.R, rel.t
+    else:
+        R, t = rel[:3, :3], rel[:3, 3]
+    tx = jnp.asarray(
+        [
+            [0.0, -t[2], t[1]],
+            [t[2], 0.0, -t[0]],
+            [-t[1], t[0], 0.0],
+        ]
+    )
+    E = tx @ R
+    return jnp.linalg.inv(K_cur).T @ E @ jnp.linalg.inv(K_ref)

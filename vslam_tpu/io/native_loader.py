@@ -1,0 +1,152 @@
+"""ctypes bindings for the native prefetching dataset loader.
+
+`native/libvslam_io.so` (C++17, zlib only) replaces the reference's ROS IO
+runtime: worker threads decode (rgb, depth) PNG pairs ahead of the consumer
+into a bounded in-order queue (NodeReplayer/Queue semantics without DDS).
+Falls back transparently to the PIL path if the library isn't built
+(`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["NativeFrameLoader", "native_available", "decode_png"]
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libvslam_io.so",
+)
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None and os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vslam_loader_open.restype = ctypes.c_void_p
+        lib.vslam_loader_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
+        lib.vslam_loader_next.restype = ctypes.c_int
+        lib.vslam_loader_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.vslam_loader_close.argtypes = [ctypes.c_void_p]
+        lib.vslam_decode_png_f32.restype = ctypes.c_int
+        lib.vslam_decode_png_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_png(path: str, scale16: float = 1.0, max_pixels: int = 4096 * 4096) -> np.ndarray:
+    """Decode a PNG to float32 via the native library (8-bit gray/RGB(A) ->
+    [0,255] luma; 16-bit gray scaled by scale16)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    buf = np.empty(max_pixels, np.float32)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.vslam_decode_png_f32(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(h),
+        ctypes.byref(w),
+        max_pixels,
+        ctypes.c_float(scale16),
+    )
+    if rc != 0:
+        raise IOError(f"PNG decode failed ({rc}): {path}")
+    return buf[: h.value * w.value].reshape(h.value, w.value).copy()
+
+
+class NativeFrameLoader:
+    """In-order prefetching (gray, depth) frame stream."""
+
+    def __init__(
+        self,
+        rgb_paths: List[str],
+        depth_paths: List[str],
+        depth_scale: float = 1.0 / 5000.0,
+        n_threads: int = 2,
+        capacity: int = 8,
+        max_pixels: int = 4096 * 4096,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not built (make -C native)")
+        assert len(rgb_paths) == len(depth_paths)
+        self._lib = lib
+        self._n = len(rgb_paths)
+        self._max_pixels = max_pixels
+        rgb_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in rgb_paths])
+        depth_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in depth_paths])
+        self._keepalive = (rgb_arr, depth_arr)
+        self._h = lib.vslam_loader_open(
+            rgb_arr, depth_arr, self._n, n_threads, capacity, ctypes.c_float(depth_scale)
+        )
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        gray = np.empty(self._max_pixels, np.float32)
+        depth = np.empty(self._max_pixels, np.float32)
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        while True:
+            rc = self._lib.vslam_loader_next(
+                self._h,
+                gray.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(h),
+                ctypes.byref(w),
+                self._max_pixels,
+            )
+            if rc == -1:
+                return
+            if rc != 0:
+                raise IOError(f"frame decode failed ({rc})")
+            n = h.value * w.value
+            yield (
+                gray[:n].reshape(h.value, w.value).copy(),
+                depth[:n].reshape(h.value, w.value).copy(),
+            )
+
+    def close(self):
+        if self._h:
+            self._lib.vslam_loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -134,6 +134,15 @@ def _load_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path))
 
 
+def _use_native() -> bool:
+    try:
+        from . import native_loader
+
+        return native_loader.native_available()
+    except Exception:
+        return False
+
+
 class TumDataset:
     """Iterates (t_ns, intensity f32 [0,255], depth f32 meters) over a TUM
     RGB-D sequence directory (rgb.txt / depth.txt / groundtruth.txt).
@@ -176,6 +185,19 @@ class TumDataset:
         return len(self.pairs)
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        if _use_native():
+            # threaded native prefetch loader (decode overlaps TPU compute)
+            from .native_loader import NativeFrameLoader
+
+            loader = NativeFrameLoader(
+                [os.path.join(self.root, f) for _, f, _ in self.pairs],
+                [os.path.join(self.root, f) for _, _, f in self.pairs],
+                depth_scale=DEPTH_SCALE,
+            )
+            for (t, _, _), (gray, depth) in zip(self.pairs, loader):
+                yield int(t * 1e9), gray, depth
+            loader.close()
+            return
         for t, f_rgb, f_depth in self.pairs:
             rgb = _load_png(os.path.join(self.root, f_rgb)).astype(np.float32)
             if rgb.ndim == 3:
