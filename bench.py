@@ -31,8 +31,8 @@ def main():
 
     H, W = 480, 640
     FX = 525.0
-    B = int(os.environ.get("BENCH_BATCH", "16"))
-    REPS = int(os.environ.get("BENCH_REPS", "30"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    REPS = int(os.environ.get("BENCH_REPS", "10"))
 
     K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
     cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
@@ -70,11 +70,13 @@ def main():
         include_prior=True,
         # production tracking profile: a fixed budget of interest points
         # (pose has 6 dof; a few thousand well-spread constraints saturate
-        # accuracy — the gate below enforces it) and the reference's own
-        # round-to-nearest sampling (InverseCompositional.cpp:119-120),
-        # which needs 1 HBM lookup per point instead of bilinear's 4
-        interpolation="nearest",
-        max_points=int(os.environ.get("BENCH_POINTS", "8192")),
+        # accuracy — the gate below enforces it). Sampling: the reference's
+        # round-to-nearest (1 HBM lookup/point; InverseCompositional.cpp:
+        # 119-120). BENCH_SAMPLER=mxu switches to sub-pixel bilinear on the
+        # MXU (Pallas kernel, ~1.8x faster than bilinear gathers).
+        interpolation=os.environ.get("BENCH_INTERP", "nearest"),
+        sampler=os.environ.get("BENCH_SAMPLER", "gather"),
+        max_points=int(os.environ.get("BENCH_POINTS", "2048")),
     )
     x_pred = jnp.zeros((B, 6), jnp.float32)
 

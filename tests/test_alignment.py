@@ -159,3 +159,26 @@ def test_compact_matches_dense():
     # points beyond the 4096 budget at the finest level, hence the tolerance
     d = np.linalg.norm(lie_np.log(lie_np.relative(results["dense"], results["compact"])))
     assert d < 5e-3, d
+
+
+def test_mxu_sampler_matches_gather():
+    """The Pallas MXU sampler path must reproduce the gather path."""
+    import dataclasses
+
+    xi_true = np.array([0.012, -0.006, 0.009, 0.003, -0.005, 0.002])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    base = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear", max_points=4096,
+    )
+    results = {}
+    for name in ["gather", "mxu"]:
+        cfg = dataclasses.replace(base, sampler=name)
+        pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+        assert ok, name
+        err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+        assert err < 0.01, f"{name} err {err}"
+        results[name] = pose_est
+    d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results["mxu"])))
+    assert d < 1e-3, d

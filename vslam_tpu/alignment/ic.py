@@ -69,6 +69,11 @@ class AlignmentConfig:
     # per-iteration work scales with it instead of with the full pixel grid.
     # 0 disables compaction (fully dense masks).
     max_points: int = 32768
+    # "gather": XLA HBM gather (default; works everywhere). "mxu": Pallas
+    # kernel sampling via one-hot matmuls on the MXU with the image resident
+    # in VMEM — ~2x faster per iteration at 480x640, bilinear only, requires
+    # compacted points.
+    sampler: str = "gather"
 
 
 class ICLevelData(NamedTuple):
@@ -202,23 +207,11 @@ def _precompute_compact(
     )
 
 
-def _frame_normal_equations(
-    data: ICLevelData,
-    rel: SE3,
-    image_cur: jax.Array,  # (H, W)
-    cam_cur: Camera,
-    cfg: AlignmentConfig,
-    x_pred: Optional[jax.Array],
-) -> NormalEquations:
-    """NE of a single reference frame at the current relative pose.
-
-    Mirrors InverseCompositional::computeNormalEquations
-    (InverseCompositional.cpp:105-153) + MotionPrior::apply
-    (SE3Alignment.cpp:37-47)."""
-    H, W = image_cur.shape
-    dtype = image_cur.dtype
-
-    p_cur = se3.transform_points(rel, data.pcl)  # (P, 3)
+def _warp_visibility(data: ICLevelData, rel: SE3, image_shape, cam_cur: Camera):
+    """Warp + projection + visibility for one or more frames (broadcasts
+    over leading axes). Returns (u, v, visible)."""
+    H, W = image_shape
+    p_cur = se3.transform_points(rel if rel.t.ndim == 1 else SE3(rel.R[..., None, :, :], rel.t[..., None, :]), data.pcl)
     uv, z_ok = cam_mod.project(cam_cur, p_cur)
     u, v = uv[..., 0], uv[..., 1]
     visible = (
@@ -229,12 +222,34 @@ def _frame_normal_equations(
         & (v > 1.0)
         & (v < H - 1.0)
     )
-    u = jnp.where(visible, u, 0.0)
-    v = jnp.where(visible, v, 0.0)
-    if cfg.interpolation == "bilinear":
-        iwxp = img_ops.bilinear_sample(image_cur, u, v)
+    return jnp.where(visible, u, 0.0), jnp.where(visible, v, 0.0), visible
+
+
+def _frame_normal_equations(
+    data: ICLevelData,
+    rel: SE3,
+    image_cur: jax.Array,  # (H, W)
+    cam_cur: Camera,
+    cfg: AlignmentConfig,
+    x_pred: Optional[jax.Array],
+    precomputed=None,  # optional (iwxp (P,), visible (P,)) from an external sampler
+) -> NormalEquations:
+    """NE of a single reference frame at the current relative pose.
+
+    Mirrors InverseCompositional::computeNormalEquations
+    (InverseCompositional.cpp:105-153) + MotionPrior::apply
+    (SE3Alignment.cpp:37-47)."""
+    H, W = image_cur.shape
+    dtype = image_cur.dtype
+
+    if precomputed is not None:
+        iwxp, visible = precomputed
     else:
-        iwxp = img_ops.nearest_sample(image_cur, u, v)
+        u, v, visible = _warp_visibility(data, rel, (H, W), cam_cur)
+        if cfg.interpolation == "bilinear":
+            iwxp = img_ops.bilinear_sample(image_cur, u, v)
+        else:
+            iwxp = img_ops.nearest_sample(image_cur, u, v)
     r = jnp.where(visible, iwxp - data.templ, 0.0)
 
     if cfg.loss.function != "None":
@@ -283,9 +298,30 @@ def level_normal_equations(
     x_pred: Optional[jax.Array],  # (F, 6)
 ) -> NormalEquations:
     """Stacked NE: per-frame NEs summed (InverseCompositionalStacked.cpp:48-62)."""
-    per_frame = jax.vmap(
-        lambda d, g, xp: _frame_normal_equations(d, g, image_cur, cam_cur, cfg, xp if cfg.include_prior else None)
-    )(data, rel, x_pred if x_pred is not None else jnp.zeros((data.J.shape[0], 6), image_cur.dtype))
+    xp = x_pred if x_pred is not None else jnp.zeros((data.J.shape[0], 6), image_cur.dtype)
+
+    if cfg.sampler == "mxu":
+        # sample ALL frames' points in one Pallas MXU pass (the current image
+        # is shared across the stacked reference frames)
+        from . import pallas_kernels as pk
+
+        F, N = data.mask.shape
+        u, v, visible = _warp_visibility(data, rel, image_cur.shape, cam_cur)
+        iwxp = pk.bilinear_sample_mxu_single(
+            image_cur, u.reshape(F * N), v.reshape(F * N)
+        ).reshape(F, N)
+        per_frame = jax.vmap(
+            lambda d, g, x, iw, vis: _frame_normal_equations(
+                d, g, image_cur, cam_cur, cfg,
+                x if cfg.include_prior else None, precomputed=(iw, vis),
+            )
+        )(data, rel, xp, iwxp, visible)
+    else:
+        per_frame = jax.vmap(
+            lambda d, g, x: _frame_normal_equations(
+                d, g, image_cur, cam_cur, cfg, x if cfg.include_prior else None
+            )
+        )(data, rel, xp)
     return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
 
 
