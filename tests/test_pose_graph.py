@@ -1,0 +1,80 @@
+"""Pose-graph optimization tests: noisy odometry chain + loop closure."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vslam_tpu.ba.pose_graph import PoseGraph, optimize_pose_graph
+from vslam_tpu.core import lie_np
+from vslam_tpu.core.se3 import SE3
+
+
+def build_loop(rng, K=8, odo_noise=0.02):
+    """Ground-truth loop of K poses; odometry edges with noise + one exact
+    loop-closure edge (K-1 -> 0)."""
+    poses_gt = [np.eye(4)]
+    step = np.array([0.4, 0.0, 0.1, 0.0, 2 * np.pi / K, 0.0])
+    for k in range(1, K):
+        poses_gt.append(lie_np.exp(step) @ poses_gt[-1])
+
+    edges = []
+    for k in range(K - 1):
+        rel_true = lie_np.relative(poses_gt[k], poses_gt[k + 1])
+        noise = lie_np.exp(rng.normal(0, odo_noise, 6))
+        edges.append((k, k + 1, noise @ rel_true, 1.0))
+    # exact loop closure with high information
+    edges.append((K - 1, 0, lie_np.relative(poses_gt[K - 1], poses_gt[0]), 100.0))
+
+    # initialize by integrating the NOISY odometry
+    init = [np.eye(4)]
+    for k in range(K - 1):
+        init.append(edges[k][2] @ init[-1])
+
+    E = len(edges)
+    g = PoseGraph(
+        poses=SE3(
+            jnp.asarray(np.stack([T[:3, :3] for T in init]), jnp.float32),
+            jnp.asarray(np.stack([T[:3, 3] for T in init]), jnp.float32),
+        ),
+        edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        edge_rel=SE3(
+            jnp.asarray(np.stack([e[2][:3, :3] for e in edges]), jnp.float32),
+            jnp.asarray(np.stack([e[2][:3, 3] for e in edges]), jnp.float32),
+        ),
+        edge_info=jnp.asarray(
+            np.stack([np.eye(6) * e[3] for e in edges]), jnp.float32
+        ),
+        edge_mask=jnp.ones(E, bool),
+    )
+    return g, poses_gt, init
+
+
+def _pose_errors(poses, poses_gt):
+    errs = []
+    for k in range(len(poses_gt)):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(poses.R[k], np.float64)
+        T[:3, 3] = np.asarray(poses.t[k], np.float64)
+        errs.append(np.linalg.norm(lie_np.log(lie_np.relative(T, poses_gt[k]))))
+    return np.asarray(errs)
+
+
+def test_loop_closure_reduces_drift(rng):
+    g, poses_gt, init = build_loop(rng)
+    poses, c0, c1 = optimize_pose_graph(g, max_iterations=30)
+    assert float(c1) < 0.1 * float(c0)
+    err_init = _pose_errors(
+        SE3(g.poses.R, g.poses.t), poses_gt
+    )
+    err_opt = _pose_errors(poses, poses_gt)
+    # drift at the loop end must shrink substantially
+    assert err_opt.max() < 0.5 * err_init.max(), (err_init.max(), err_opt.max())
+    assert err_opt.mean() < 0.6 * err_init.mean()
+
+
+def test_consistent_graph_stays_put(rng):
+    g, poses_gt, _ = build_loop(rng, odo_noise=0.0)
+    poses, c0, c1 = optimize_pose_graph(g, max_iterations=10)
+    assert float(c0) < 1e-6
+    assert float(c1) <= float(c0) + 1e-9

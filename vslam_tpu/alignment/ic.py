@@ -60,6 +60,11 @@ class AlignmentConfig:
     solver: SolverConfig = SolverConfig(max_iterations=100, min_step_size=1e-11)
     loss: loss_mod.LossConfig = loss_mod.LossConfig("None")
     include_prior: bool = True  # OdometryRgbd always enables it (Odometry.cpp:24)
+    # information weight of the motion prior (reference hardcodes unit
+    # information, SE3Alignment.cpp:33-36, tuned for 640x480/fx=525; smaller
+    # images carry ~(fx/525)^2 less photometric information, so scale this
+    # down accordingly when tracking at low resolution)
+    prior_weight: float = 1.0
     interpolation: str = "bilinear"  # sub-pixel sampling (default); "nearest" = strict reference parity (InverseCompositional.cpp:119-120)
     # renormalize R onto SO(3) every iteration (f32 drift control; negligible cost)
     orthonormalize: bool = True
@@ -283,8 +288,8 @@ def _frame_normal_equations(
         # term masks. We implement the correctly-signed prior.
         normalizer = 1.0 / (255.0 * 255.0)
         x = se3.log(rel)
-        A = A * normalizer + jnp.eye(6, dtype=dtype)
-        b = b * normalizer + (x - x_pred)
+        A = A * normalizer + cfg.prior_weight * jnp.eye(6, dtype=dtype)
+        b = b * normalizer + cfg.prior_weight * (x - x_pred)
 
     return NormalEquations(A, b, chi2, n)
 

@@ -152,14 +152,20 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Log map of SO(3), robust near theta = 0 and theta = pi."""
+    """Log map of SO(3), robust near theta = 0 and theta = pi.
+
+    theta comes from atan2(|vee|/2, (tr-1)/2) rather than arccos — arccos
+    has an infinite derivative at 1, which poisons jacfwd/jacrev through
+    near-identity rotations (pose-graph Jacobians hit this)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    vee = so3_vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    sin2 = jnp.sum(vee * vee, axis=-1) * 0.25
+    sin_theta = jnp.sqrt(jnp.maximum(sin2, 1e-30))
+    theta = jnp.arctan2(sin_theta, cos_theta)
     theta2 = theta * theta
 
     # Generic / small-angle branch: w = theta/(2 sin theta) * vee(R - R^T).
-    sin_theta = jnp.sin(theta)
     # factor = theta / (2 sin theta); Taylor: 1/2 + theta^2/12 + ...
     small = theta < 1e-4
     factor = jnp.where(
@@ -167,7 +173,7 @@ def so3_log(R: jax.Array) -> jax.Array:
         0.5 + theta2 / 12.0,
         theta / jnp.maximum(2.0 * sin_theta, 1e-24),
     )
-    w_generic = factor[..., None] * so3_vee(R - jnp.swapaxes(R, -1, -2))
+    w_generic = factor[..., None] * vee
 
     # Near-pi branch: axis from the diagonal of (R + I) / 2 = aa^T(1-cos)+...
     # R + I ≈ 2 aa^T at theta = pi; take sqrt of diagonal, fix signs from
@@ -176,12 +182,10 @@ def so3_log(R: jax.Array) -> jax.Array:
     diag = jnp.stack([Rp[..., 0, 0], Rp[..., 1, 1], Rp[..., 2, 2]], axis=-1)
     k = jnp.argmax(diag, axis=-1)
     cols = jnp.take_along_axis(Rp, k[..., None, None], axis=-1)[..., 0]  # (...,3)
-    axis = cols / jnp.maximum(
-        jnp.linalg.norm(cols, axis=-1, keepdims=True), 1e-24
-    )
+    cols_norm = jnp.sqrt(jnp.maximum(jnp.sum(cols * cols, axis=-1, keepdims=True), 1e-24))
+    axis = cols / cols_norm
     w_pi = axis * theta[..., None]
     # Match sign with vee(R - R^T) when it is not degenerate.
-    vee = so3_vee(R - jnp.swapaxes(R, -1, -2))
     sign = jnp.where(jnp.sum(vee * w_pi, axis=-1, keepdims=True) < 0, -1.0, 1.0)
     w_pi = w_pi * sign
 

@@ -24,6 +24,7 @@ from ..alignment.aligner import RgbdAligner
 from ..config import PipelineConfig
 from ..core.camera import Camera
 from ..core.frame import create_frame
+from ..utils import timer
 from ..utils.log import get_logger
 from .keyframe import make_keyframe_selection
 from .map import HostFrame, Map
@@ -73,16 +74,19 @@ class OdometryPipeline:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (pose world->cam 4x4, cov 6x6) for this frame."""
         t0 = time.perf_counter()
-        device_frame = create_frame(
-            jnp.asarray(intensity, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
-            self.camera,
-            n_levels=self.cfg.pyramid_levels,
-        )
-        pred = self.prediction.predict(t_ns)
+        with timer.scope("pipeline.create_frame"):
+            device_frame = create_frame(
+                jnp.asarray(intensity, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+                self.camera,
+                n_levels=self.cfg.pyramid_levels,
+            )
+        with timer.scope("pipeline.predict"):
+            pred = self.prediction.predict(t_ns)
         frame = HostFrame(frame=device_frame, t_ns=int(t_ns), pose=pred)
 
-        self.odometry.update(frame)
+        with timer.scope("pipeline.align"):
+            self.odometry.update(frame)
         frame.pose = self.odometry.pose
         frame.cov = self.odometry.cov
         self.prediction.update(frame.pose, t_ns)
@@ -93,7 +97,8 @@ class OdometryPipeline:
 
         if is_kf and self._tracking is not None:
             try:
-                new_points = self._tracking.track(frame, self.map)
+                with timer.scope("pipeline.mapping"):
+                    new_points = self._tracking.track(frame, self.map)
                 self.map.insert_points(new_points)
                 if self._ba is not None and len(self.map.keyframes()) >= 2:
                     poses, points, err0, err1 = self._ba.optimize(self.map)
@@ -105,6 +110,7 @@ class OdometryPipeline:
                 self._log.warning("mapping backend failed: %s", exc)
 
         self.trajectory.append(t_ns, frame.pose, frame.cov)
+        timer.record("pipeline.frame_total", time.perf_counter() - t0)
         self._log.debug(
             "frame t=%d kf=%s dt=%.1fms", t_ns, is_kf, 1e3 * (time.perf_counter() - t0)
         )
