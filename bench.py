@@ -98,6 +98,8 @@ def main():
         T[:3, 3] = t_all[b]
         errs.append(np.linalg.norm(lie_np.log(T) - xis[b]))
     mean_err = float(np.mean(errs))
+    print(f"accuracy gate: mean per-pair SE(3) error {mean_err:.5f} "
+          f"(budget 0.01, reference test_alignment_se3.cpp:119)", file=sys.stderr)
     if mean_err > 0.01:
         print(json.dumps({
             "metric": "aligned frame-pairs/sec/chip (ACCURACY GATE FAILED)",
