@@ -28,6 +28,10 @@ class PipelineConfig:
     # solver.*
     solver_max_iterations: int = 100
     solver_min_step_size: float = 1e-11
+    # f32 production profile (no reference equivalent — its absolute f64
+    # thresholds never fire in f32): stop when the relative chi2 improvement
+    # drops below this; None = strict reference parity
+    solver_min_relative_reduction: Optional[float] = 1e-4
     # loss.*
     loss_function: str = "None"  # None | Tukey | Huber | tdistribution
     loss_huber_c: float = 1.43
@@ -55,6 +59,7 @@ class PipelineConfig:
             solver=SolverConfig(
                 max_iterations=self.solver_max_iterations,
                 min_step_size=self.solver_min_step_size,
+                min_relative_reduction=self.solver_min_relative_reduction,
             ),
             loss=LossConfig(
                 function=self.loss_function,
