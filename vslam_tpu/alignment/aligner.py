@@ -76,3 +76,43 @@ class RgbdAligner:
         rel0[:3, :3] = u @ vt
         pose = rel0 @ ref_poses[0]
         return pose, np.asarray(cov, np.float64), ok
+
+
+def debug_images(ref_frame: Frame, cur_frame: Frame, rel_pose: np.ndarray, level: int = 0):
+    """Diagnostic images for a converged alignment — the reference emits
+    these per GN iteration via LOG_IMG (ImageWarped / Residual / Weights,
+    InverseCompositional.cpp:149-151). Recomputed once at the given pose
+    (host-triggered; the jitted solver itself stays image-free).
+
+    Returns dict of numpy arrays: image_warped (current image pulled onto the
+    reference grid), residual, interest_mask.
+    """
+    import jax.numpy as jnp
+
+    from ..core import camera as cam_mod
+    from ..core import image as img_ops
+    from ..core.frame import frame_pcl
+    from ..core.se3 import SE3
+
+    H, W = ref_frame.intensity[level].shape
+    pts, valid = frame_pcl(ref_frame, level)
+    rel = SE3(jnp.asarray(rel_pose[:3, :3], jnp.float32), jnp.asarray(rel_pose[:3, 3], jnp.float32))
+    from ..core import se3 as se3_mod
+
+    p = se3_mod.transform_points(rel, pts.reshape(-1, 3))
+    uv, zok = cam_mod.project(cur_frame.cameras[level], p)
+    u, v = uv[..., 0], uv[..., 1]
+    vis = valid.reshape(-1) & zok & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
+    samp = img_ops.bilinear_sample(
+        cur_frame.intensity[level], jnp.where(vis, u, 0.0), jnp.where(vis, v, 0.0)
+    )
+    warped = jnp.where(vis, samp, 0.0).reshape(H, W)
+    residual = jnp.where(
+        vis.reshape(H, W), warped - ref_frame.intensity[level], 0.0
+    )
+    grad2 = ref_frame.dIx[level] ** 2 + ref_frame.dIy[level] ** 2
+    return {
+        "image_warped": np.asarray(warped),
+        "residual": np.asarray(residual),
+        "interest_mask": np.asarray(grad2 >= 0.0) & np.asarray(vis.reshape(H, W)),
+    }

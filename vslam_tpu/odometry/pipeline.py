@@ -25,7 +25,7 @@ from ..config import PipelineConfig
 from ..core.camera import Camera
 from ..core.frame import create_frame
 from ..utils import timer
-from ..utils.log import get_logger
+from ..utils.log import get_logger, log_img
 from .keyframe import make_keyframe_selection
 from .map import HostFrame, Map
 from .motion_model import make_motion_prediction
@@ -89,6 +89,17 @@ class OdometryPipeline:
             self.odometry.update(frame)
         frame.pose = self.odometry.pose
         frame.cov = self.odometry.cov
+
+        # visual logs (LOG_IMG parity: ImageWarped/Residual, Log.h:39) —
+        # null-objects unless a sink was enabled via utils.log.log_img(name)
+        if (log_img("ImageWarped").enabled or log_img("Residual").enabled) and self.map.last_frame() is not None:
+            from ..alignment.aligner import debug_images
+            from ..core import lie_np as _lie
+
+            rel = _lie.relative(self.map.last_frame().pose, frame.pose)
+            dbg = debug_images(self.map.last_frame().frame, frame.frame, rel)
+            log_img("ImageWarped").log(dbg["image_warped"])
+            log_img("Residual").log(dbg["residual"])
         self.prediction.update(frame.pose, t_ns)
 
         self.keyframe_selection.update(frame)
