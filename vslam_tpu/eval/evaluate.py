@@ -46,7 +46,10 @@ def _cmd_odometry(args) -> int:
         ds = KittiDataset(args.dataset, sequence=args.sequence, max_frames=args.max_frames)
     else:
         ds = tum.TumDataset(args.dataset, max_frames=args.max_frames)
-    fx, fy, cx, cy = ds.intrinsics()
+    if args.intrinsics:
+        fx, fy, cx, cy = (float(x) for x in args.intrinsics.split(","))
+    else:
+        fx, fy, cx, cy = ds.intrinsics()
     pipeline = OdometryPipeline(Camera.create(fx, fy, cx, cy), cfg)
     log.warning("tracking %d frames from %s", len(ds), args.dataset)
 
@@ -193,6 +196,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--config", default=None, help="reference-style YAML params")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--intrinsics", default=None, help="fx,fy,cx,cy override (default: inferred)")
     p.add_argument("--mapping", action="store_true", help="enable SLAM backend (features + BA)")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--log-level", default="WARNING")
