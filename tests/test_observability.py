@@ -50,10 +50,10 @@ def test_debug_images_shapes():
     assert dbg["residual"].shape == (H, W)
     # the residual at the TRUE pose (interp error only; the tiny fx aliases
     # the texture) must be far below the residual at a WRONG pose
-    vis = dbg["interest_mask"]
+    vis = dbg["visible_mask"]
     r_true = np.abs(dbg["residual"][vis]).mean()
     dbg_bad = debug_images(f0, f1, lie_np.exp(xi + np.array([0.1, 0, 0, 0, 0, 0])))
-    r_bad = np.abs(dbg_bad["residual"][dbg_bad["interest_mask"]]).mean()
+    r_bad = np.abs(dbg_bad["residual"][dbg_bad["visible_mask"]]).mean()
     assert r_true < 0.5 * r_bad, (r_true, r_bad)
 
 

@@ -85,7 +85,7 @@ def debug_images(ref_frame: Frame, cur_frame: Frame, rel_pose: np.ndarray, level
     (host-triggered; the jitted solver itself stays image-free).
 
     Returns dict of numpy arrays: image_warped (current image pulled onto the
-    reference grid), residual, interest_mask.
+    reference grid), residual, visible_mask.
     """
     import jax.numpy as jnp
 
@@ -110,9 +110,8 @@ def debug_images(ref_frame: Frame, cur_frame: Frame, rel_pose: np.ndarray, level
     residual = jnp.where(
         vis.reshape(H, W), warped - ref_frame.intensity[level], 0.0
     )
-    grad2 = ref_frame.dIx[level] ** 2 + ref_frame.dIy[level] ** 2
     return {
         "image_warped": np.asarray(warped),
         "residual": np.asarray(residual),
-        "interest_mask": np.asarray(grad2 >= 0.0) & np.asarray(vis.reshape(H, W)),
+        "visible_mask": np.asarray(vis.reshape(H, W)),
     }
