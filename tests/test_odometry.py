@@ -96,3 +96,46 @@ def test_fallback_on_bad_frame():
             intensity, depth = synthetic.render(K, p, (H, W))
         pipeline.process_frame(i * DT_NS, intensity, depth)
     assert len(pipeline.trajectory) == 8
+
+
+def test_keyframe_selection_visible_map():
+    """KeyFrameSelectionCustom: new keyframe on large translation or too few
+    visible landmarks (KeyFrameSelection.cpp:30-54)."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.core.frame import create_frame
+    from vslam_tpu.odometry.keyframe import KeyFrameSelectionCustom
+    from vslam_tpu.odometry.map import HostFrame, Landmark, Map
+
+    cam = Camera.create(FX, FY, CX, CY)
+    dummy = create_frame(
+        jnp.zeros((H, W), jnp.float32), jnp.ones((H, W), jnp.float32), cam, n_levels=1
+    )
+    m = Map()
+    sel = KeyFrameSelectionCustom(m, min_visible_points=2, max_translation=0.2)
+
+    kf = HostFrame(frame=dummy, t_ns=0, pose=np.eye(4))
+    # landmarks in front of the keyframe, linked to its features
+    lms = [Landmark(position=np.array([x, 0.0, 2.0])) for x in (-0.2, 0.0, 0.2)]
+    kf.keypoints = np.zeros((3, 2), np.float32)
+    kf.kp_landmark = np.array([lm.id for lm in lms])
+    for i, lm in enumerate(lms):
+        lm.observations[kf.id] = i
+    m.insert(kf, is_keyframe=True)
+    m.insert_points(lms)
+
+    # nearby frame, everything visible -> not a keyframe
+    f1 = HostFrame(frame=dummy, t_ns=1, pose=lie_np.exp(np.array([0.01, 0, 0, 0, 0, 0])))
+    sel.update(f1)
+    assert not sel.is_keyframe()
+
+    # large translation -> keyframe
+    f2 = HostFrame(frame=dummy, t_ns=2, pose=lie_np.exp(np.array([0.5, 0, 0, 0, 0, 0])))
+    sel.update(f2)
+    assert sel.is_keyframe()
+
+    # rotated away so landmarks leave the view -> keyframe
+    f3 = HostFrame(frame=dummy, t_ns=3, pose=lie_np.exp(np.array([0, 0, 0, 0, 1.2, 0])))
+    sel.update(f3)
+    assert sel.is_keyframe()
