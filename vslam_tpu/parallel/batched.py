@@ -120,7 +120,10 @@ def sharded_tracking_step(mesh: Mesh, cfg: AlignmentConfig, axis: str = "data"):
     """Build the pjit-compiled multi-chip tracking step: batch sharded over
     `axis`, per-pair solves local to each chip, one psum aggregating global
     convergence stats over ICI."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     bspec = P(axis)
 
@@ -132,11 +135,13 @@ def sharded_tracking_step(mesh: Mesh, cfg: AlignmentConfig, axis: str = "data"):
         frac = jax.lax.psum(n_ok, axis) / jax.lax.psum(n, axis)
         return ekf_new, rel, valid, frac
 
-    sharded = shard_map(
-        local_step,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(bspec, bspec, bspec, bspec),
         out_specs=(bspec, bspec, bspec, P()),
-        check_rep=False,
     )
+    try:
+        sharded = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - pre-0.8 jax uses check_rep
+        sharded = shard_map(local_step, check_rep=False, **kwargs)
     return jax.jit(sharded)
