@@ -56,6 +56,36 @@ def test_ekf_covariance_grows_without_updates():
     assert float(jnp.trace(state.P)) > p0
 
 
+def test_measurement_noise_from_cov():
+    """The aligner covariance shapes R: structure preserved, scale
+    recalibrated, degenerate input falls back to scaled identity."""
+    cov = np.diag([1.0, 1.0, 1.0, 100.0, 100.0, 100.0]).astype(np.float32)
+    R = np.asarray(ekf_se3.measurement_noise_from_cov(jnp.asarray(cov), scale=1e-2))
+    assert np.trace(R) == pytest.approx(6 * 1e-2, rel=1e-2)
+    assert R[3, 3] / R[0, 0] == pytest.approx(100.0, rel=0.05)
+    bad = np.full((6, 6), np.nan, np.float32)
+    R2 = np.asarray(ekf_se3.measurement_noise_from_cov(jnp.asarray(bad), scale=1e-2))
+    np.testing.assert_allclose(np.diag(R2), 1e-2 * 1.001 * np.ones(6), rtol=1e-3)
+
+
+def test_ekf_gain_depends_on_alignment_covariance():
+    """Covariance-dependent Kalman gain: axes the aligner reports as
+    uncertain converge slower than well-constrained axes."""
+    twist = np.array([0.2, 0.0, 0.0, 0.1, 0.0, 0.0], np.float32)
+    # translation well constrained, rotation very uncertain (scale chosen so
+    # R is comparable to the filter's prior P and the gain difference shows)
+    cov = np.diag([1e-2] * 3 + [1e2] * 3).astype(np.float32)
+    R = ekf_se3.measurement_noise_from_cov(jnp.asarray(cov), scale=10.0)
+    state = ekf_se3.init(dtype=jnp.float32)
+    state, _ = ekf_se3.predict(state, 0.1)
+    state = ekf_se3.update(state, jnp.asarray(twist), R)
+    v = np.asarray(state.velocity)
+    # relative progress toward the measured twist per axis
+    prog_t = v[0] / twist[0]
+    prog_r = v[3] / twist[3]
+    assert prog_t > 5 * prog_r, (prog_t, prog_r)
+
+
 def test_motion_prediction_models():
     from vslam_tpu.odometry.motion_model import make_motion_prediction
 

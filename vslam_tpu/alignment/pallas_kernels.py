@@ -27,36 +27,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bilinear_sample_mxu"]
+__all__ = ["bilinear_sample_mxu", "bilinear_sample_mxu_single"]
 
 _CHUNK = 1024  # points per grid step; (CHUNK, H) mask ~2 MB in VMEM
 
 
 def _sample_kernel(u_ref, v_ref, img_ref, out_ref):
-    H = img_ref.shape[1]
-    W = img_ref.shape[2]
-    img = img_ref[0]  # (H, W)
-    u = u_ref[0, 0].reshape(_CHUNK)  # block (1, 1, 8, 128) -> (CHUNK,)
-    v = v_ref[0, 0].reshape(_CHUNK)
-
-    v0 = jnp.floor(v)
-    fy = (v - v0).astype(jnp.float32)
-    u0 = jnp.floor(u)
-    fx = (u - u0).astype(jnp.float32)
-    v0i = v0.astype(jnp.int32).reshape(_CHUNK, 1)
-    u0i = u0.astype(jnp.int32).reshape(_CHUNK, 1)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, H), 1)
-    fyc = fy.reshape(_CHUNK, 1)
-    wy = jnp.where(rows == v0i, 1.0 - fyc, 0.0) + jnp.where(rows == v0i + 1, fyc, 0.0)
-
-    mix = jnp.dot(wy, img, preferred_element_type=jnp.float32)  # (CHUNK, W)
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, W), 1)
-    fxc = fx.reshape(_CHUNK, 1)
-    wx = jnp.where(cols == u0i, 1.0 - fxc, 0.0) + jnp.where(cols == u0i + 1, fxc, 0.0)
-
-    out_ref[0, 0] = jnp.sum(mix * wx, axis=-1).reshape(8, 128)
+    # block (1, 1, 8, 128) inputs; image block (1, H, W)
+    _sample_body(u_ref[0, 0], v_ref[0, 0], img_ref, out_ref, block_rank=4)
 
 
 @functools.partial(jax.jit, static_argnames=())

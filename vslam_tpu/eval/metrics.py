@@ -28,19 +28,41 @@ def associate(
     max_difference: float = 0.02,
 ) -> List[Tuple[int, int]]:
     """Greedy best-first matching of two timestamp lists. Returns index pairs
-    (ia, ib), each timestamp used at most once."""
-    candidates = []
-    for ia, a in enumerate(ts_a):
-        for ib, b in enumerate(ts_b):
-            d = abs(a - (b + offset))
-            if d < max_difference:
-                candidates.append((d, ia, ib))
-    candidates.sort()
-    used_a, used_b, matches = set(), set(), []
-    for _, ia, ib in candidates:
-        if ia not in used_a and ib not in used_b:
-            used_a.add(ia)
-            used_b.add(ib)
+    (ia, ib), each timestamp used at most once.
+
+    Candidate generation is vectorized with searchsorted (the naive
+    all-pairs double loop is O(N*M) interpreted Python — tens of millions of
+    iterations on fr2_desk-sized trajectories); only the (a, b) pairs within
+    max_difference are enumerated, which preserves the reference protocol
+    (associate.py:49-128) exactly.
+    """
+    a = np.asarray(ts_a, np.float64)
+    b = np.asarray(ts_b, np.float64) + offset
+    if a.size == 0 or b.size == 0:
+        return []
+    order_b = np.argsort(b, kind="stable")
+    b_sorted = b[order_b]
+    lo = np.searchsorted(b_sorted, a - max_difference, side="left")
+    hi = np.searchsorted(b_sorted, a + max_difference, side="right")
+    counts = hi - lo
+    ia_all = np.repeat(np.arange(a.size), counts)
+    # per-a candidate offsets into b_sorted
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ib_sorted = lo[ia_all] + (np.arange(ia_all.size) - starts[ia_all])
+    ib_all = order_b[ib_sorted]
+    d_all = np.abs(a[ia_all] - b[ib_all])
+    keep = d_all < max_difference  # strict, matching the reference
+    ia_all, ib_all, d_all = ia_all[keep], ib_all[keep], d_all[keep]
+
+    order = np.lexsort((ib_all, ia_all, d_all))
+    used_a = np.zeros(a.size, bool)
+    used_b = np.zeros(b.size, bool)
+    matches = []
+    for k in order:  # O(#candidates) with small windows, not O(N*M)
+        ia, ib = int(ia_all[k]), int(ib_all[k])
+        if not used_a[ia] and not used_b[ib]:
+            used_a[ia] = True
+            used_b[ib] = True
             matches.append((ia, ib))
     matches.sort()
     return matches

@@ -38,9 +38,9 @@ _PATTERN = brief_pattern()
 def extract_descriptors(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Descriptors for keypoints ``uv: (N, 2)`` (float pixel coords).
 
-    Returns (N, 256) float32 of {0, 1}. Coordinates are clamped at borders
-    (callers should discard keypoints closer than PATCH to the edge, as the
-    detector's border margin already does).
+    Returns (N, 256) float32 of {0, 1}. Coordinates are clamped at borders;
+    callers should detect with a border margin >= PATCH so no test sample is
+    clamped (tracking passes border=PATCH to fast_grid_detect).
     """
     smooth = img_ops.gaussian_blur_3x3(img_ops.gaussian_blur_3x3(img))
     H, W = img.shape

@@ -80,9 +80,17 @@ def ratio_match(
     mask_c: Optional[jax.Array] = None,  # (M,) valid candidates
     max_distance: float = 1000.0,
     min_distance_ratio: float = 0.8,
+    unique: bool = False,
 ) -> MatchResult:
     """Best + second-best per row; accept if best < maxDistance and
-    best < ratio * second (Matcher.cpp:48-56)."""
+    best < ratio * second (Matcher.cpp:48-56).
+
+    ``unique=True`` additionally enforces a one-to-one assignment: when
+    several queries match the same candidate, only the lowest-distance query
+    (ties broken by query index) keeps the match. The reference matcher is
+    query-best-only; uniqueness prevents duplicate landmarks for one physical
+    point in the tracking pipeline.
+    """
     big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
     if mask_c is not None:
         dist = jnp.where(mask_c[None, :], dist, big)
@@ -95,6 +103,14 @@ def ratio_match(
     valid = (best < max_distance) & (best < min_distance_ratio * second)
     if mask_q is not None:
         valid = valid & mask_q
+    if unique:
+        N, M = dist.shape
+        key = jnp.where(valid, best, big)
+        best_per_c = jnp.full((M,), big, dist.dtype).at[idx].min(key)
+        is_best = valid & (key <= best_per_c[idx])
+        qi = jnp.arange(N)
+        winner_q = jnp.full((M,), N, qi.dtype).at[idx].min(jnp.where(is_best, qi, N))
+        valid = is_best & (winner_q[idx] == qi)
     return MatchResult(idx=idx, distance=best, valid=valid)
 
 

@@ -32,7 +32,11 @@ __all__ = ["FeatureTracking"]
 
 @functools.partial(jax.jit, static_argnames=("threshold", "cell"))
 def _detect_describe(intensity, depth, threshold: float = 10.0, cell: int = 30):
-    det = det_mod.fast_grid_detect(intensity, depth, threshold=threshold, cell=cell)
+    # detect at least PATCH pixels from the edge so every BRIEF test sample
+    # stays in-bounds (unclamped)
+    det = det_mod.fast_grid_detect(
+        intensity, depth, threshold=threshold, cell=cell, border=desc_mod.PATCH
+    )
     desc = desc_mod.extract_descriptors(intensity, det.uv)
     H, W = depth.shape
     u = det.uv[:, 0].astype(jnp.int32)
@@ -45,7 +49,7 @@ def _detect_describe(intensity, depth, threshold: float = 10.0, cell: int = 30):
 def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy):
     d = match_mod.descriptor_l1_matrix(desc_q, desc_c)
     r = match_mod.reprojection_error_matrix(p3d_c, uv_q, fx, fy, cx, cy)
-    return match_mod.ratio_match(d + r, mask_q=mask_q, mask_c=mask_c)
+    return match_mod.ratio_match(d + r, mask_q=mask_q, mask_c=mask_c, unique=True)
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -79,31 +83,45 @@ class FeatureTracking:
     def select_candidates(self, cur: HostFrame, refs: List[HostFrame], slam_map: Map):
         """Candidate features from reference keyframes: unassociated features
         always; landmark-associated ones once per landmark and only if the
-        landmark projects inside the current view (FeatureTracking.cpp:178-203)."""
-        seen = set()
+        landmark projects inside the current view (FeatureTracking.cpp:178-203).
+
+        Fully vectorized per reference frame (batched position fetch + one
+        projection) — no per-landmark Python loop."""
         cand = []  # (ref_frame, idx)
         W, H = cur.frame.width(0), cur.frame.height(0)
         cam = cur.frame.cameras[0]
         fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+        R, t = cur.pose[:3, :3], cur.pose[:3, 3]
+        seen = np.empty(0, np.int64)
         for f in refs:
             if f.keypoints is None:
                 continue
-            for i in range(len(f.keypoints)):
-                pid = int(f.kp_landmark[i])
-                if pid < 0:
-                    cand.append((f, i))
-                elif pid not in seen:
-                    lm = slam_map.point(pid)
-                    if lm is None:
-                        continue
-                    p_c = lie_np.transform(cur.pose, lm.position[None, :])[0]
-                    if p_c[2] <= 0:
-                        continue
-                    u = fx * p_c[0] / p_c[2] + cx
-                    v = fy * p_c[1] / p_c[2] + cy
-                    if self.border < u < W - self.border and self.border < v < H - self.border:
-                        cand.append((f, i))
-                        seen.add(pid)
+            pids = np.asarray(f.kp_landmark, np.int64)
+            order = np.arange(len(pids))
+            un = order[pids < 0]
+
+            assoc = order[pids >= 0]
+            accepted = np.empty(0, np.int64)
+            if len(assoc):
+                # dedup by landmark: first occurrence in this frame, and not
+                # selected from an earlier (more recent) reference frame
+                uniq, first = np.unique(pids[assoc], return_index=True)
+                fresh = ~np.isin(uniq, seen)
+                uniq, first = uniq[fresh], first[fresh]
+                pos, ok = slam_map.positions_lookup(uniq)
+                p_c = pos @ R.T + t
+                z = p_c[:, 2]
+                front = ok & (z > 0)
+                zs = np.where(front, z, 1.0)
+                u = fx * p_c[:, 0] / zs + cx
+                v = fy * p_c[:, 1] / zs + cy
+                b = self.border
+                vis = front & (b < u) & (u < W - b) & (b < v) & (v < H - b)
+                accepted = assoc[first[vis]]
+                seen = np.concatenate([seen, uniq[vis]])
+
+            for i in np.sort(np.concatenate([un, accepted])):
+                cand.append((f, int(i)))
         return cand
 
     def track(self, cur: HostFrame, slam_map: Map) -> List[Landmark]:

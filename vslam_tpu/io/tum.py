@@ -165,10 +165,19 @@ class TumDataset:
         depth = _read_file_list(os.path.join(root, "depth.txt"))
         ts_d = np.asarray([t for t, _ in depth])
         self.pairs: List[Tuple[float, str, str]] = []
+        # pop semantics like the reference Queue (Queue.cpp:40-102): each
+        # depth frame is consumed by at most one rgb frame — a two-pointer
+        # sweep over the time-sorted lists (never reuse one depth image for
+        # several rgb frames)
+        j = 0
         for t_rgb, f_rgb in rgb:
-            j = int(np.argmin(np.abs(ts_d - t_rgb)))
-            if abs(ts_d[j] - t_rgb) <= MAX_PAIR_DIFF_S:
+            while j + 1 < len(depth) and abs(ts_d[j + 1] - t_rgb) <= abs(ts_d[j] - t_rgb):
+                j += 1
+            if j < len(depth) and abs(ts_d[j] - t_rgb) <= MAX_PAIR_DIFF_S:
                 self.pairs.append((t_rgb, f_rgb, depth[j][1]))
+                j += 1
+            if j >= len(depth):
+                break
         if max_frames:
             self.pairs = self.pairs[:max_frames]
         gt_path = os.path.join(root, "groundtruth.txt")

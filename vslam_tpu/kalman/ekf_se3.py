@@ -25,7 +25,27 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.se3 import SE3
 
-__all__ = ["EkfState", "init", "predict", "update"]
+__all__ = ["EkfState", "init", "predict", "update", "measurement_noise_from_cov"]
+
+
+def measurement_noise_from_cov(cov: jax.Array, scale: float = 1e-2) -> jax.Array:
+    """Measurement noise from an aligner covariance (A^-1).
+
+    The absolute scale of a photometric normal-equation inverse is arbitrary
+    (intensity units, 1/255^2 and prior normalizers), so only its STRUCTURE
+    — the per-axis relative uncertainty — is trusted: the matrix is
+    normalized to mean diagonal = ``scale`` (the reference feeds a plain
+    identity here, MotionPrediction.cpp:84; this keeps that calibration while
+    letting poorly-constrained axes see a weaker Kalman gain). Degenerate
+    inputs fall back to scale * I.
+    """
+    cov = jnp.asarray(cov)
+    dtype = cov.dtype
+    tr = jnp.trace(cov) / 6.0
+    ok = jnp.isfinite(tr) & (tr > 0.0) & jnp.all(jnp.isfinite(cov))
+    R = jnp.where(ok, cov * (scale / jnp.where(ok, tr, 1.0)), jnp.eye(6, dtype=dtype) * scale)
+    # keep R symmetric positive definite under f32 roundoff
+    return 0.5 * (R + R.T) + jnp.eye(6, dtype=dtype) * (scale * 1e-3)
 
 
 class EkfState(NamedTuple):

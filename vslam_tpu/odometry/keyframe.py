@@ -57,20 +57,18 @@ class KeyFrameSelectionCustom(KeyFrameSelection):
         fx, fy = float(cam.fx), float(cam.fy)
         cx, cy = float(cam.cx), float(cam.cy)
         W, H = frame.frame.width(0), frame.frame.height(0)
-        for i in range(len(kf.kp_landmark)):
-            pid = int(kf.kp_landmark[i])
-            if pid < 0:
-                continue
-            lm = self._map.point(pid)
-            if lm is None:
-                continue
-            p_cam = lie_np.transform(frame.pose, lm.position[None, :])[0]
-            if p_cam[2] <= 0:
-                continue
-            u = fx * p_cam[0] / p_cam[2] + cx
-            v = fy * p_cam[1] / p_cam[2] + cy
-            if self._border < u < W - self._border and self._border < v < H - self._border:
-                self._visible += 1
+        # vectorized visibility count (no per-landmark Python loop on the
+        # per-frame path): batch-fetch positions, project all at once
+        pos, ok = self._map.positions_lookup(kf.kp_landmark)
+        p_cam = pos @ frame.pose[:3, :3].T + frame.pose[:3, 3]
+        z = p_cam[:, 2]
+        front = ok & (z > 0)
+        zs = np.where(front, z, 1.0)
+        u = fx * p_cam[:, 0] / zs + cx
+        v = fy * p_cam[:, 1] / zs + cy
+        b = self._border
+        inb = (b < u) & (u < W - b) & (b < v) & (v < H - b)
+        self._visible = int(np.sum(front & inb))
 
     def is_keyframe(self) -> bool:
         return (

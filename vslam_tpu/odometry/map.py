@@ -59,6 +59,30 @@ class Map:
         self._frames: Deque[HostFrame] = deque(maxlen=max_frames)
         self._keyframes: Deque[HostFrame] = deque(maxlen=max_keyframes)
         self._points: Dict[int, Landmark] = {}
+        # packed position store indexed directly by landmark id: keeps the
+        # per-frame visibility/candidate paths free of per-landmark Python
+        # loops (ids are monotonic; the array grows by doubling)
+        self._pos = np.full((64, 3), np.nan, np.float64)
+
+    def _store_position(self, pid: int, position: np.ndarray) -> None:
+        if pid >= len(self._pos):
+            cap = len(self._pos)
+            while cap <= pid:
+                cap *= 2
+            grown = np.full((cap, 3), np.nan, np.float64)
+            grown[: len(self._pos)] = self._pos
+            self._pos = grown
+        self._pos[pid] = position
+
+    def positions_lookup(self, pids: np.ndarray):
+        """Vectorized landmark-position fetch: (positions (N, 3), ok (N,)).
+        Unknown/negative ids return ok=False rows."""
+        pids = np.asarray(pids, np.int64)
+        inb = (pids >= 0) & (pids < len(self._pos))
+        rows = np.where(inb, pids, 0)
+        pos = self._pos[rows]
+        ok = inb & np.isfinite(pos[:, 0])
+        return pos, ok
 
     def insert(self, frame: HostFrame, is_keyframe: bool = False):
         self._frames.appendleft(frame)
@@ -86,6 +110,7 @@ class Map:
     def insert_points(self, points: List[Landmark]):
         for p in points:
             self._points[p.id] = p
+            self._store_position(p.id, p.position)
 
     def update_pose(self, frame_id: int, pose: np.ndarray, cov: Optional[np.ndarray] = None):
         for f in itertools.chain(self._keyframes, self._frames):
@@ -105,3 +130,4 @@ class Map:
             if pid not in self._points:
                 raise KeyError(f"Point not part of map: {pid}")
             self._points[pid].position = np.asarray(pos, np.float64)
+            self._store_position(pid, self._points[pid].position)

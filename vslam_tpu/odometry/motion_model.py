@@ -33,7 +33,9 @@ class MotionPrediction:
     def predict(self, t_ns: int) -> np.ndarray:
         raise NotImplementedError
 
-    def update(self, pose: np.ndarray, t_ns: int) -> None:
+    def update(self, pose: np.ndarray, t_ns: int, cov: Optional[np.ndarray] = None) -> None:
+        """``cov`` is the 6x6 covariance of the pose estimate (the aligner's
+        A^-1); models that filter use it as measurement noise."""
         raise NotImplementedError
 
 
@@ -46,7 +48,7 @@ class MotionPredictionNoMotion(MotionPrediction):
     def predict(self, t_ns: int) -> np.ndarray:
         return self._pose.copy()
 
-    def update(self, pose: np.ndarray, t_ns: int) -> None:
+    def update(self, pose: np.ndarray, t_ns: int, cov: Optional[np.ndarray] = None) -> None:
         self._pose = np.asarray(pose, np.float64)
 
 
@@ -63,7 +65,7 @@ class MotionPredictionConstant(MotionPrediction):
         dt = (int(t_ns) - self._t_ns) / _NS
         return lie_np.exp(self._speed * dt) @ self._pose
 
-    def update(self, pose: np.ndarray, t_ns: int) -> None:
+    def update(self, pose: np.ndarray, t_ns: int, cov: Optional[np.ndarray] = None) -> None:
         if int(t_ns) < self._t_ns:
             raise ValueError("New timestamp is older than last one!")
         dt = (int(t_ns) - self._t_ns) / _NS
@@ -79,6 +81,7 @@ class MotionPredictionKalman(MotionPrediction):
 
     def __init__(self, process_noise: float = 1e-2, measurement_noise: float = 1e-2):
         self._state = ekf_se3.init(process_noise=process_noise, dtype=jnp.float32)
+        self._measurement_noise = float(measurement_noise)
         self._R = jnp.eye(6, dtype=jnp.float32) * measurement_noise
         self._pose = np.eye(4)
         self._t_ns = 0
@@ -96,7 +99,7 @@ class MotionPredictionKalman(MotionPrediction):
         _, pose = ekf_se3.predict(self._state, dt)
         return self._pose_np(pose)
 
-    def update(self, pose: np.ndarray, t_ns: int) -> None:
+    def update(self, pose: np.ndarray, t_ns: int, cov: Optional[np.ndarray] = None) -> None:
         if int(t_ns) < self._t_ns:
             raise ValueError("New timestamp is older than last one!")
         dt = (int(t_ns) - self._t_ns) / _NS
@@ -113,7 +116,18 @@ class MotionPredictionKalman(MotionPrediction):
                 P=state.P,
                 Q=state.Q,
             )
-            self._state = ekf_se3.update(state, jnp.asarray(speed, jnp.float32), self._R)
+            # measurement noise: the aligner covariance's per-axis structure
+            # at the calibrated default scale when provided, else the fixed
+            # default (the reference EKF accepts covMotion but its prediction
+            # wiring feeds identity, MotionPrediction.cpp:84; see
+            # ekf_se3.measurement_noise_from_cov)
+            if cov is not None:
+                R = ekf_se3.measurement_noise_from_cov(
+                    jnp.asarray(cov, jnp.float32), scale=self._measurement_noise
+                )
+            else:
+                R = self._R
+            self._state = ekf_se3.update(state, jnp.asarray(speed, jnp.float32), R)
         else:
             self._state = self._state._replace(
                 pose=SE3(

@@ -88,12 +88,20 @@ def tracking_step(
     x_pred = jax.vmap(se3_mod.log)(rel_pred)
     rel, cov, valid = align_pairs(ref, cur, rel_pred, x_pred, cfg)
 
-    def update_one(state, rel_i, dt_i, ok):
+    def update_one(state, rel_i, cov_i, dt_i, ok):
+        # measurement = speed twist log(rel)/dt. Measurement noise uses the
+        # aligner's covariance STRUCTURE (per-axis relative uncertainty from
+        # A^-1, SE3Alignment.cpp:101) normalized to a calibrated scale: the
+        # absolute scale of a photometric A^-1 is arbitrary (intensity units,
+        # 1/255^2 + prior normalizers), and the reference itself feeds plain
+        # identity into its EKF (MotionPrediction.cpp:84 covMotion = I) — we
+        # keep its calibration but weight axes by the solve's conditioning.
         v_meas = se3_mod.log(rel_i) / jnp.maximum(dt_i, 1e-6)
-        new = ekf_se3.update(state, v_meas, jnp.eye(6, dtype=v_meas.dtype) * 1e-2)
+        R = ekf_se3.measurement_noise_from_cov(cov_i, scale=1e-2)
+        new = ekf_se3.update(state, v_meas, R)
         return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, state)
 
-    ekf_new = jax.vmap(update_one)(ekf_pred, rel, dt, valid)
+    ekf_new = jax.vmap(update_one)(ekf_pred, rel, cov, dt, valid)
     return ekf_new, rel, valid
 
 
