@@ -57,6 +57,109 @@ def test_debug_images_shapes():
     assert r_true < 0.5 * r_bad, (r_true, r_bad)
 
 
+def test_log_plot_saves_npz_and_renders(tmp_path):
+    sink = log_mod.log_plt("TestPlotOn")
+    sink.enabled = True
+    sink.save_dir = str(tmp_path)
+    from vslam_tpu.eval.plot import plot_gauss_newton
+
+    sink.renderer = plot_gauss_newton
+    chi2 = np.array([10.0, 4.0, 1.5, np.nan, np.nan])
+    step = np.array([1.0, 0.5, 0.1, np.nan, np.nan])
+    sink << {"chi2": chi2, "step_size": step}
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    assert any(f.endswith(".npz") for f in files)
+    assert any(f.endswith(".png") for f in files)
+    loaded = np.load(tmp_path / "TestPlotOn_000000.npz")
+    np.testing.assert_allclose(loaded["chi2"], chi2)
+    assert "TestPlotOn" in log_mod.registered_plot_logs()
+
+
+def test_solver_iteration_history():
+    """The GN solver records per-iteration chi2/stepSize like the reference's
+    Solver::Results (Solver.h:40-56): decreasing chi2 while iterating, NaN
+    beyond the final iteration."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.solvers import SolverConfig, solve_gauss_newton
+    from vslam_tpu.solvers.normal_equations import NormalEquations
+
+    target = jnp.asarray([1.0, -2.0], jnp.float32)
+
+    def compute_ne(x):
+        r = x - target
+        J = jnp.eye(2, dtype=jnp.float32)
+        A = J.T @ J
+        b = J.T @ r
+        return NormalEquations(A, b, jnp.sum(r * r), jnp.asarray(2.0))
+
+    def update(x, dx):
+        return x - 0.5 * dx  # half steps -> several iterations
+
+    cfg = SolverConfig(max_iterations=20, min_step_size=1e-5)
+    res = solve_gauss_newton(compute_ne, update, jnp.zeros(2, jnp.float32), 2, cfg)
+    chi2 = np.asarray(res.chi2_history)
+    step = np.asarray(res.step_history)
+    assert chi2.shape == (20,) and step.shape == (20,)
+    n = int(np.sum(np.isfinite(chi2)))
+    assert 2 <= n <= 20
+    assert np.all(np.diff(chi2[:n]) <= 0)  # monotone decrease on this problem
+    assert np.all(np.isnan(chi2[n:]))
+    assert np.all(np.isfinite(step[:n]))
+
+
+def test_aligner_emits_solver_plot(tmp_path):
+    """RgbdAligner routes per-level convergence history into
+    LOG_PLT("SolverGN") when the sink is enabled (GaussNewton.cpp:100)."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.aligner import RgbdAligner
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.core.frame import create_frame
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W, FX = 48, 64, 55.0
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    i0, d0 = synthetic.render(K, np.eye(4), (H, W))
+    xi = np.array([0.01, 0, 0, 0, 0.005, 0])
+    i1, d1 = synthetic.render(K, lie_np.exp(xi), (H, W))
+    f0 = create_frame(jnp.asarray(i0), jnp.asarray(d0), cam, n_levels=2)
+    f1 = create_frame(jnp.asarray(i1), jnp.asarray(d1), cam, n_levels=2)
+
+    sink = log_mod.log_plt("SolverGN")
+    sink.enabled = True
+    sink.save_dir = str(tmp_path)
+    payloads = []
+    sink.callback = lambda name, data: payloads.append(data)
+    try:
+        cfg = AlignmentConfig(
+            min_gradient=5.0,
+            solver=SolverConfig(max_iterations=10, min_step_size=1e-7),
+            include_prior=False,
+            prior_weight=0.0,
+        )
+        aligner = RgbdAligner(cfg)
+        pose, cov, ok = aligner.align([f0], [np.eye(4)], f1, np.eye(4))
+    finally:
+        sink.enabled = False
+        sink.save_dir = None
+        sink.callback = None
+    assert ok
+    assert len(payloads) == 1
+    d = payloads[0]
+    assert d["chi2"].shape == (2, 10)  # (levels, max_iterations)
+    assert d["step_size"].shape == (2, 10)
+    assert d["iterations"].shape == (2,)
+    n0 = int(d["iterations"][0])
+    assert n0 >= 1 and np.all(np.isfinite(d["chi2"][0, :n0]))
+
+
 def test_timer_registry():
     timer.reset()
     with timer.scope("unit.test"):

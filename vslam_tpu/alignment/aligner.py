@@ -23,6 +23,7 @@ import numpy as np
 from ..core import lie_np
 from ..core.frame import Frame
 from ..core.se3 import SE3
+from ..utils.log import log_plt
 from . import ic
 from .ic import AlignmentConfig
 
@@ -37,6 +38,11 @@ def stack_frames(frames: Sequence[Frame]) -> Frame:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _align_jit(ref_stack: Frame, cur_frame: Frame, rel_init: SE3, x_pred, cfg: AlignmentConfig):
     return ic.align(ref_stack, cur_frame, rel_init, x_pred, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _align_diag_jit(ref_stack: Frame, cur_frame: Frame, rel_init: SE3, x_pred, cfg: AlignmentConfig):
+    return ic.align(ref_stack, cur_frame, rel_init, x_pred, cfg, with_diagnostics=True)
 
 
 class RgbdAligner:
@@ -65,7 +71,17 @@ class RgbdAligner:
             np.stack([lie_np.log(r) for r in rels]), dtype
         )
         ref_stack = stack_frames(ref_frames)
-        rel_out, cov, valid = _align_jit(ref_stack, cur_frame, rel_init, x_pred, self.cfg)
+        plt_sink = log_plt("SolverGN")
+        if plt_sink.enabled:
+            # solver observability: per-iteration chi2/step history per level
+            # (reference emits LOG_PLT("SolverGN") after every solve,
+            # GaussNewton.cpp:100)
+            rel_out, cov, valid, diag = _align_diag_jit(
+                ref_stack, cur_frame, rel_init, x_pred, self.cfg
+            )
+            plt_sink.log({k: np.asarray(v) for k, v in diag.items()})
+        else:
+            rel_out, cov, valid = _align_jit(ref_stack, cur_frame, rel_init, x_pred, self.cfg)
 
         ok = bool(valid)
         rel0 = np.eye(4)

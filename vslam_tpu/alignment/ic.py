@@ -208,7 +208,11 @@ def _precompute_compact(
         J=J,
         templ=intensity.reshape(-1)[idx],
         mask=sel,
-        n_constraints=jnp.sum(mask).astype(dtype),
+        # count the rows that can actually contribute to A/b — on budget
+        # overflow the dropped points must not deflate the normalized NE
+        # (they would inflate covariance and shift the photometric-vs-prior
+        # balance relative to the reference)
+        n_constraints=jnp.sum(sel).astype(dtype),
     )
 
 
@@ -382,7 +386,8 @@ def align(
     rel_init: SE3,  # (F,) initial cur<-ref transforms (prediction-based)
     x_pred: Optional[jax.Array],  # (F, 6) prior means log(pred . ref^-1)
     cfg: AlignmentConfig,
-) -> Tuple[SE3, jax.Array, jax.Array]:
+    with_diagnostics: bool = False,
+):
     """Full coarse-to-fine alignment (SE3Alignment.cpp:106-146 multi-frame).
 
     Returns ``(rel (F,), covariance (6,6), valid)``. ``rel[0]`` corresponds to
@@ -390,11 +395,17 @@ def align(
     reads warps[0]->poseCur(), SE3Alignment.cpp:142-143).
 
     Covariance = A^-1 of the final accepted NE (SE3Alignment.cpp:101).
+
+    ``with_diagnostics=True`` (a Python-static flag) appends a dict of
+    per-level solver telemetry — chi2/step_size (L, max_iterations) history
+    buffers plus accepted-iteration counts, coarsest level first — the
+    LOG_PLT("SolverGN") payload (reference GaussNewton.cpp:100).
     """
     n_levels = len(ref_frames.intensity)
     rel = rel_init
     cov = jnp.eye(6, dtype=cur_frame.intensity[0].dtype)
     valid_any = jnp.asarray(False)
+    hist_chi2, hist_step, hist_iters = [], [], []
     for level in range(n_levels - 1, -1, -1):
         # per-frame cameras are identical across the F axis (same rig);
         # take frame 0's intrinsics as scalars.
@@ -415,4 +426,15 @@ def align(
         )
         cov = jnp.where(result.valid, inv_psd(result.A), cov)
         valid_any = valid_any | result.valid
+        if with_diagnostics:
+            hist_chi2.append(result.chi2_history)
+            hist_step.append(result.step_history)
+            hist_iters.append(result.iterations)
+    if with_diagnostics:
+        diag = {
+            "chi2": jnp.stack(hist_chi2),
+            "step_size": jnp.stack(hist_step),
+            "iterations": jnp.stack(hist_iters),
+        }
+        return rel, cov, valid_any, diag
     return rel, cov, valid_any

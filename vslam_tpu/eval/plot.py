@@ -16,7 +16,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..core import lie_np
 from . import metrics
 
-__all__ = ["plot_trajectory", "plot_rpe"]
+__all__ = ["plot_trajectory", "plot_rpe", "plot_gauss_newton", "install_convergence_renderer"]
 
 
 def plot_trajectory(
@@ -45,6 +45,43 @@ def plot_trajectory(
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
+
+
+def plot_gauss_newton(data: Dict[str, np.ndarray], out_path: str) -> None:
+    """Solver convergence plot: chi2 and step size per iteration (reference
+    vis::PlotGaussNewton, visuals.h:71-100, emitted via
+    LOG_PLT("SolverGN") at GaussNewton.cpp:100).
+
+    ``data`` holds "chi2" and "step_size" arrays, either (iters,) for one
+    solve or (levels, iters) for a coarse-to-fine stack; NaN entries (beyond
+    the converged iteration) are trimmed per curve.
+    """
+    chi2 = np.atleast_2d(np.asarray(data["chi2"], np.float64))
+    step = np.atleast_2d(np.asarray(data["step_size"], np.float64))
+    fig, (a1, a2) = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for lvl in range(chi2.shape[0]):
+        n = int(np.sum(np.isfinite(chi2[lvl])))
+        label = f"level {lvl}" if chi2.shape[0] > 1 else "chi2"
+        a1.plot(np.arange(n), chi2[lvl, :n], ".-", markersize=3, label=label)
+        a2.plot(np.arange(n), step[lvl, :n], ".-", markersize=3, label=label)
+    a1.set_ylabel(r"$\chi^2$")
+    a1.set_yscale("log")
+    a1.legend(fontsize=8)
+    a2.set_ylabel(r"$\|\Delta x\|$")
+    a2.set_yscale("log")
+    a2.set_xlabel("iteration")
+    fig.suptitle("Gauss-Newton convergence")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def install_convergence_renderer(name: str = "SolverGN") -> None:
+    """Attach the convergence-plot renderer to a LOG_PLT sink so enabled
+    plot logs also save PNGs next to the .npz payloads."""
+    from ..utils.log import log_plt
+
+    log_plt(name).renderer = plot_gauss_newton
 
 
 def plot_rpe(

@@ -71,6 +71,11 @@ class SolverResult(NamedTuple):
     chi2: jax.Array
     iterations: jax.Array  # number of completed (accepted) iterations
     valid: jax.Array  # bool: at least one iteration was accepted
+    # per-iteration history (reference Solver::Results records chi2/stepSize/x
+    # per iteration, Solver.h:40-56, consumed by PlotGaussNewton). Fixed
+    # length = config.max_iterations; entries beyond `iterations` are NaN.
+    chi2_history: jax.Array
+    step_history: jax.Array
 
 
 class _Carry(NamedTuple):
@@ -81,6 +86,8 @@ class _Carry(NamedTuple):
     i: jax.Array
     pushed: jax.Array  # accepted-iteration count
     done: jax.Array
+    chi2_hist: jax.Array
+    step_hist: jax.Array
 
 
 def _select_tree(pred, a, b):
@@ -133,7 +140,14 @@ def solve_gauss_newton(
         chi2_next = jnp.where(accepted, ne.chi2, c.chi2_prev)
         pushed_next = c.pushed + jnp.where(accepted, 1, 0)
         done = abort | nan_step | converged
-        return _Carry(x_next, chi2_next, A_next, b_next, c.i + 1, pushed_next, done)
+        # iteration telemetry (chi2/step recorded for every evaluated
+        # iteration, like the reference's r->chi2(i)/stepSize(i))
+        chi2_hist = c.chi2_hist.at[c.i].set(ne.chi2)
+        step_hist = c.step_hist.at[c.i].set(step)
+        return _Carry(
+            x_next, chi2_next, A_next, b_next, c.i + 1, pushed_next, done,
+            chi2_hist, step_hist,
+        )
 
     def cond(c: _Carry) -> jax.Array:
         return (~c.done) & (c.i < config.max_iterations)
@@ -147,6 +161,8 @@ def solve_gauss_newton(
         i=jnp.asarray(0, jnp.int32),
         pushed=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        chi2_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
+        step_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
     )
     out = lax.while_loop(cond, body, init)
     return SolverResult(
@@ -156,6 +172,8 @@ def solve_gauss_newton(
         chi2=out.chi2_prev,
         iterations=out.pushed,
         valid=out.pushed > 0,
+        chi2_history=out.chi2_hist,
+        step_history=out.step_hist,
     )
 
 
@@ -189,6 +207,8 @@ def solve_levenberg_marquardt(
         i: jax.Array
         pushed: jax.Array
         done: jax.Array
+        chi2_hist: jax.Array
+        step_hist: jax.Array
 
     def body(c: CarryLM) -> CarryLM:
         ne = compute_ne(c.x)
@@ -219,6 +239,8 @@ def solve_levenberg_marquardt(
             c.i + 1,
             c.pushed + jnp.where(accept, 1, 0),
             done,
+            c.chi2_hist.at[c.i].set(chi2_new),
+            c.step_hist.at[c.i].set(step),
         )
 
     def cond(c: CarryLM) -> jax.Array:
@@ -233,6 +255,8 @@ def solve_levenberg_marquardt(
         i=jnp.asarray(0, jnp.int32),
         pushed=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        chi2_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
+        step_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
     )
     out = lax.while_loop(cond, body, init)
     return SolverResult(
@@ -242,4 +266,6 @@ def solve_levenberg_marquardt(
         chi2=out.chi2_prev,
         iterations=out.pushed,
         valid=out.pushed > 0,
+        chi2_history=out.chi2_hist,
+        step_history=out.step_hist,
     )

@@ -17,10 +17,20 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-__all__ = ["get_logger", "LogImage", "log_img", "registered_image_logs", "configure"]
+__all__ = [
+    "get_logger",
+    "LogImage",
+    "log_img",
+    "registered_image_logs",
+    "LogPlot",
+    "log_plt",
+    "registered_plot_logs",
+    "configure",
+]
 
 _LOGGERS: Dict[str, logging.Logger] = {}
 _IMAGE_LOGS: Dict[str, "LogImage"] = {}
+_PLOT_LOGS: Dict[str, "LogPlot"] = {}
 
 _FMT = "%(asctime)s [%(name)s] %(levelname)s %(message)s"
 
@@ -75,3 +85,51 @@ def log_img(name: str) -> LogImage:
 
 def registered_image_logs():
     return sorted(_IMAGE_LOGS.keys())
+
+
+class LogPlot:
+    """String-keyed plot log sink (reference LogPlot / LOG_PLT, Log.h:35-40,
+    139-177). Payloads are dicts of named 1-D arrays (e.g. the Gauss-Newton
+    chi2/stepSize iteration history emitted after each solve,
+    GaussNewton.cpp:100).
+
+    Disabled by default (null-object). When enabled with a save directory,
+    `log` stores the payload as `<dir>/<name>_<counter>.npz` and, when a
+    renderer is installed (eval.plot registers the convergence renderer),
+    also renders `<name>_<counter>.png`."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.enabled = False
+        self.save_dir: Optional[str] = None
+        self.callback: Optional[Callable[[str, Dict[str, np.ndarray]], None]] = None
+        self.renderer: Optional[Callable[[Dict[str, np.ndarray], str], None]] = None
+        self._ctr = 0
+
+    def log(self, payload: Dict[str, np.ndarray]) -> None:
+        if not self.enabled:
+            return
+        data = {k: np.asarray(v) for k, v in payload.items()}
+        if self.callback is not None:
+            self.callback(self.name, data)
+        if self.save_dir is not None:
+            os.makedirs(self.save_dir, exist_ok=True)
+            stem = os.path.join(self.save_dir, f"{self.name}_{self._ctr:06d}")
+            np.savez(stem + ".npz", **data)
+            if self.renderer is not None:
+                self.renderer(data, stem + ".png")
+        self._ctr += 1
+
+    def __lshift__(self, payload):  # LOG_PLT("x") << payload idiom
+        self.log(payload)
+        return self
+
+
+def log_plt(name: str) -> LogPlot:
+    if name not in _PLOT_LOGS:
+        _PLOT_LOGS[name] = LogPlot(name)
+    return _PLOT_LOGS[name]
+
+
+def registered_plot_logs():
+    return sorted(_PLOT_LOGS.keys())
