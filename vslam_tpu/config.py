@@ -10,7 +10,7 @@ by the reference configs).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from .alignment.ic import AlignmentConfig
 from .solvers.gauss_newton import SolverConfig
@@ -23,8 +23,12 @@ __all__ = ["PipelineConfig", "load_yaml_config"]
 class PipelineConfig:
     # features.*
     features_min_gradient: float = 30.0
-    # pyramid.levels — scale list; the number of entries is the level count
-    pyramid_levels: int = 3
+    # pyramid.levels — the reference's scale list [1.0, 0.5, 0.25]
+    # (NodeMapping.yaml). NOTE: the reference itself uses only the list's
+    # SIZE (NodeMapping.cpp:226 passes .size() to computePyramid; the values
+    # are implicitly dyadic via cv::buildPyramid) — we store the values for
+    # config fidelity and validate they are dyadic.
+    pyramid_scales: Tuple[float, ...] = (1.0, 0.5, 0.25)
     # solver.*
     solver_max_iterations: int = 100
     solver_min_step_size: float = 1e-11
@@ -52,6 +56,29 @@ class PipelineConfig:
     # SLAM backend (NodeMapping: feature tracking + windowed BA on keyframes)
     enable_mapping: bool = False
     ba_max_iterations: int = 50
+    # loop closure + global pose graph (capability extension, SURVEY §7 M5)
+    enable_loop_closure: bool = False
+    # log.image.<Name>.show / log.plot.<Name>.show flags from the reference
+    # YAML (NodeMapping.cpp:125-135): sinks to enable at pipeline startup
+    log_image_enabled: Tuple[str, ...] = ()
+    log_plot_enabled: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        scales = tuple(float(s) for s in self.pyramid_scales)
+        if not scales:
+            raise ValueError("pyramid_scales must be non-empty")
+        want = tuple(1.0 / (2**i) for i in range(len(scales)))
+        if tuple(sorted(scales, reverse=True)) != want:
+            raise ValueError(
+                f"pyramid_scales must be dyadic (1, 0.5, 0.25, ...), got {scales} — "
+                "the reference's pyramid is cv::buildPyramid (dyadic) and only the "
+                "level count is free (NodeMapping.cpp:226)"
+            )
+        object.__setattr__(self, "pyramid_scales", scales)
+
+    @property
+    def pyramid_levels(self) -> int:
+        return len(self.pyramid_scales)
 
     def alignment_config(self) -> AlignmentConfig:
         return AlignmentConfig(
@@ -92,13 +119,17 @@ def load_yaml_config(path: str) -> PipelineConfig:
     except ImportError as exc:  # pragma: no cover
         raise RuntimeError("pyyaml not available; construct PipelineConfig directly") from exc
 
-    flat = _flatten(raw or {})
+    raw = raw or {}
+    flat = _flatten(raw)
     kw = {}
     if "features.min_gradient" in flat:
         kw["features_min_gradient"] = float(flat["features.min_gradient"])
     if "pyramid.levels" in flat:
         levels = flat["pyramid.levels"]
-        kw["pyramid_levels"] = len(levels) if isinstance(levels, list) else int(levels)
+        if isinstance(levels, list):
+            kw["pyramid_scales"] = tuple(float(s) for s in levels)
+        else:  # plain level count
+            kw["pyramid_scales"] = tuple(1.0 / (2**i) for i in range(int(levels)))
     if "solver.max_iterations" in flat:
         kw["solver_max_iterations"] = int(flat["solver.max_iterations"])
     if "solver.min_step_size" in flat:
@@ -119,4 +150,30 @@ def load_yaml_config(path: str) -> PipelineConfig:
         kw["keyframe_selection_min_visible_points"] = int(
             flat["keyframe_selection.visible_map.min_visible_points"]
         )
+    if "keyframe_selection.visible_map.max_translation" in flat:
+        kw["keyframe_selection_max_translation"] = float(
+            flat["keyframe_selection.visible_map.max_translation"]
+        )
+    # odometry behavior knobs (OdometryRgbd ctor, Odometry.h:46-60)
+    if "odometry.include_key_frame" in flat:
+        kw["include_key_frame"] = bool(flat["odometry.include_key_frame"])
+    if "odometry.track_key_frame" in flat:
+        kw["track_key_frame"] = bool(flat["odometry.track_key_frame"])
+    if "odometry.include_prior" in flat:
+        kw["include_prior"] = bool(flat["odometry.include_prior"])
+    if "mapping.enabled" in flat:
+        kw["enable_mapping"] = bool(flat["mapping.enabled"])
+    if "mapping.loop_closure" in flat:
+        kw["enable_loop_closure"] = bool(flat["mapping.loop_closure"])
+    # visual-log sinks: log.image.<Name>.show / log.plot.<Name>.show
+    # (NodeMapping.cpp:125-135)
+    img_logs, plt_logs = [], []
+    for section, out in (("image", img_logs), ("plot", plt_logs)):
+        for name, sub in (raw.get("log", {}) or {}).get(section, {}).items():
+            if isinstance(sub, dict) and sub.get("show"):
+                out.append(str(name))
+    if img_logs:
+        kw["log_image_enabled"] = tuple(sorted(img_logs))
+    if plt_logs:
+        kw["log_plot_enabled"] = tuple(sorted(plt_logs))
     return PipelineConfig(**kw)
