@@ -1,0 +1,71 @@
+"""Fused sequential odometry (lax.scan per-frame fusion): must track the same
+synthetic trajectory the host pipeline tracks, with chunked dispatch and
+padded final chunks handled correctly."""
+
+import numpy as np
+import pytest
+
+from vslam_tpu.alignment.ic import AlignmentConfig
+from vslam_tpu.core import lie_np
+from vslam_tpu.core.camera import Camera
+from vslam_tpu.eval import metrics
+from vslam_tpu.io import synthetic
+from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+from vslam_tpu.solvers import SolverConfig
+
+H, W, FX = 96, 128, 110.0
+N_FRAMES = 10
+DT_NS = int(1e9 / 30)
+
+
+def _make_sequence():
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N_FRAMES, trans_amp=0.08, rot_amp=0.03)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    frames = [synthetic.render(K, p, (H, W)) for p in poses]
+    return poses, frames
+
+
+def _seq_cfg():
+    return SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=10.0,
+            solver=SolverConfig(max_iterations=50, min_step_size=1e-7),
+            include_prior=True,
+            prior_weight=(FX / 525.0) ** 2,
+        ),
+        n_levels=3,
+        kf_period=5,
+    )
+
+
+def _run(chunk):
+    poses, frames = _make_sequence()
+    odo = SequentialOdometry(Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2), _seq_cfg(), chunk=chunk)
+    results = odo.run((i * DT_NS, f[0], f[1]) for i, f in enumerate(frames))
+    assert len(results) == N_FRAMES
+    gt = {i * DT_NS / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+    est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+    ate, n = metrics.ate_rmse(gt, est)
+    assert n == N_FRAMES
+    return ate, results
+
+
+def test_fused_scan_tracks_synthetic_sequence():
+    ate, results = _run(chunk=4)
+    assert ate < 0.01, f"fused-path ATE {ate}"
+    # covariances come back per frame
+    assert results[3][2].shape == (6, 6)
+
+
+def test_fused_scan_padding_invariant():
+    """chunk > remaining frames: padded slots must not corrupt the state."""
+    ate_small, res_small = _run(chunk=4)
+    ate_big, res_big = _run(chunk=16)  # 10 frames -> one padded chunk (9 live)
+    assert ate_big < 0.01
+    # same trajectory regardless of chunking
+    for (t1, p1, _), (t2, p2, _) in zip(res_small, res_big):
+        assert t1 == t2
+        err = np.linalg.norm(lie_np.log(lie_np.relative(p1, p2)))
+        assert err < 1e-4, err

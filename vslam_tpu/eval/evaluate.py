@@ -40,6 +40,9 @@ def _cmd_odometry(args) -> int:
     cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
+    if args.fused and cfg.enable_mapping:
+        print("--fused is odometry-only (the mapping backend needs the host map)", file=sys.stderr)
+        return 2
     if args.format == "kitti":
         from ..io.kitti import KittiDataset
 
@@ -50,20 +53,39 @@ def _cmd_odometry(args) -> int:
         fx, fy, cx, cy = (float(x) for x in args.intrinsics.split(","))
     else:
         fx, fy, cx, cy = ds.intrinsics()
-    pipeline = OdometryPipeline(Camera.create(fx, fy, cx, cy), cfg)
+    camera = Camera.create(fx, fy, cx, cy)
     log.warning("tracking %d frames from %s", len(ds), args.dataset)
 
-    t0 = time.perf_counter()
-    n = 0
-    for t_ns, intensity, depth in ds:
-        pipeline.process_frame(t_ns, intensity, depth)
-        n += 1
-        if n % 50 == 0:
-            fps = n / (time.perf_counter() - t0)
-            log.warning("frame %d/%d (%.1f fps)", n, len(ds), fps)
-    elapsed = time.perf_counter() - t0
+    if args.fused:
+        # fused on-device scan path (one dispatch per chunk; odometry-only)
+        from ..odometry.sequential import SequentialConfig, SequentialOdometry
 
-    est = {t / 1e9: np.linalg.inv(p) for t, p in pipeline.trajectory.items()}
+        seq_cfg = SequentialConfig(
+            alignment=cfg.alignment_config(),
+            n_levels=cfg.pyramid_levels,
+            kf_period=cfg.keyframe_selection_idx_period,
+            kf_max_translation=cfg.keyframe_selection_max_translation,
+            include_key_frame=cfg.include_key_frame,
+        )
+        odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk)
+        t0 = time.perf_counter()
+        results = odo.run(iter(ds))
+        elapsed = time.perf_counter() - t0
+        n = len(results)
+        est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}
+        pipeline = None
+    else:
+        pipeline = OdometryPipeline(camera, cfg)
+        t0 = time.perf_counter()
+        n = 0
+        for t_ns, intensity, depth in ds:
+            pipeline.process_frame(t_ns, intensity, depth)
+            n += 1
+            if n % 50 == 0:
+                fps = n / (time.perf_counter() - t0)
+                log.warning("frame %d/%d (%.1f fps)", n, len(ds), fps)
+        elapsed = time.perf_counter() - t0
+        est = {t / 1e9: np.linalg.inv(p) for t, p in pipeline.trajectory.items()}
     # (cam->world TUM convention; inv is exact for rigid transforms)
     out = args.out or "trajectory.txt"
     tum.write_trajectory(out, est)
@@ -148,15 +170,40 @@ def _cmd_synthetic(args) -> int:
         solver_min_step_size=1e-7,
         enable_mapping=args.mapping,
     )
-    pipeline = OdometryPipeline(Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2), cfg)
-    t0 = time.perf_counter()
-    for i, p in enumerate(poses):
-        intensity, depth = synthetic.render(K, p, (H, W))
-        pipeline.process_frame(i * dt_ns, intensity, depth)
-    elapsed = time.perf_counter() - t0
+    camera = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    if args.realistic:
+        # occlusion scene + Kinect-like sensor degradation: the strongest
+        # dataset-free accuracy proxy (exact pose GT, realistic nuisances)
+        sensor = synthetic.SensorModel()
+        frames = [
+            synthetic.degrade(*synthetic.render_boxes(K, p, (H, W)), sensor, i)
+            for i, p in enumerate(poses)
+        ]
+    else:
+        frames = [synthetic.render(K, p, (H, W)) for p in poses]
+    n_landmarks = 0
+    if args.fused:
+        from ..odometry.sequential import SequentialConfig, SequentialOdometry
+
+        odo = SequentialOdometry(
+            camera,
+            SequentialConfig(alignment=cfg.alignment_config(), n_levels=cfg.pyramid_levels),
+            chunk=8,
+        )
+        t0 = time.perf_counter()
+        results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+        elapsed = time.perf_counter() - t0
+        est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+    else:
+        pipeline = OdometryPipeline(camera, cfg)
+        t0 = time.perf_counter()
+        for i, (intensity, depth) in enumerate(frames):
+            pipeline.process_frame(i * dt_ns, intensity, depth)
+        elapsed = time.perf_counter() - t0
+        est = {t / 1e9: lie_np.inv(p) for t, p in pipeline.trajectory.items()}
+        n_landmarks = len(pipeline.map.points())
 
     gt = {i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
-    est = {t / 1e9: lie_np.inv(p) for t, p in pipeline.trajectory.items()}
     ate, _ = metrics.ate_rmse(gt, est)
     rpe_t, rpe_r, _ = metrics.rpe(gt, est, fixed_delta=min(0.4, args.frames / 60))
     print(
@@ -166,7 +213,7 @@ def _cmd_synthetic(args) -> int:
                 "fps": round(args.frames / elapsed, 2),
                 "ate_rmse_m": round(ate, 6),
                 "rpe_trans_rmse_m": round(rpe_t, 6),
-                "landmarks": len(pipeline.map.points()),
+                "landmarks": n_landmarks,
             }
         )
     )
@@ -198,6 +245,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--intrinsics", default=None, help="fx,fy,cx,cy override (default: inferred)")
     p.add_argument("--mapping", action="store_true", help="enable SLAM backend (features + BA)")
+    p.add_argument("--fused", action="store_true", help="fused on-device scan path (odometry-only)")
+    p.add_argument("--chunk", type=int, default=16, help="frames per device dispatch with --fused")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--log-level", default="WARNING")
     p.set_defaults(fn=_cmd_odometry)
@@ -216,6 +265,12 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--fx", type=float, default=110.0)
     p.add_argument("--mapping", action="store_true")
+    p.add_argument("--fused", action="store_true", help="fused on-device scan path")
+    p.add_argument(
+        "--realistic",
+        action="store_true",
+        help="occlusion scene + sensor noise/holes/exposure drift (accuracy proxy)",
+    )
     p.set_defaults(fn=_cmd_synthetic)
 
     args = ap.parse_args(argv)

@@ -21,7 +21,17 @@ import numpy as np
 
 from ..core import lie_np
 
-__all__ = ["PlaneScene", "default_scene", "render", "camera_matrix", "smooth_trajectory"]
+__all__ = [
+    "PlaneScene",
+    "default_scene",
+    "render",
+    "camera_matrix",
+    "smooth_trajectory",
+    "BoxScene",
+    "render_boxes",
+    "SensorModel",
+    "degrade",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +108,136 @@ def render(
     intensity = np.clip(tex, 0.0, 255.0)
     intensity = np.where(valid, intensity, 0.0)
     return intensity.astype(np.float32), z.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxScene:
+    """A scene with DEPTH DISCONTINUITIES: a textured background plane plus a
+    set of textured foreground rectangular patches at different depths and
+    orientations, rendered with a z-buffer — pixel rays hitting a closer
+    patch occlude the background, producing the occlusion edges, parallax and
+    invalid-at-boundary behavior real RGB-D frames have (the analytic
+    PlaneScene is C-infinity everywhere and is the *easy* case)."""
+
+    seed: int = 11
+    n_patches: int = 6
+    background: PlaneScene = PlaneScene(d=2.5, origin=(0.0, 0.0, 2.5))
+
+
+def _patch_params(scene: BoxScene):
+    rng = np.random.default_rng(scene.seed)
+    patches = []
+    for k in range(scene.n_patches):
+        # patch center in front of the background, tilted plane, finite extent
+        c = np.array([rng.uniform(-0.8, 0.8), rng.uniform(-0.6, 0.6), rng.uniform(1.2, 2.1)])
+        tilt = rng.uniform(-0.5, 0.5, size=2)
+        n = np.array([tilt[0], tilt[1], -1.0])
+        n /= np.linalg.norm(n)
+        e1 = np.cross(n, [0.0, 1.0, 0.0])
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(n, e1)
+        half = rng.uniform(0.15, 0.45, size=2)
+        tex = PlaneScene(seed=scene.seed * 101 + k, n_waves=10, amplitude=80.0)
+        patches.append((c, n, e1, e2, half, tex))
+    return patches
+
+
+def render_boxes(
+    K: np.ndarray,
+    pose_world_to_cam: np.ndarray,
+    shape: Tuple[int, int],
+    scene: BoxScene = BoxScene(),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render the occlusion scene: closed-form per pixel, exact GT for any
+    pose. Returns (intensity, depth) like `render`."""
+    H, W = shape
+    intensity, depth = render(K, pose_world_to_cam, shape, scene.background)
+
+    T_cw = lie_np.inv(pose_world_to_cam)
+    R_wc = T_cw[:3, :3]
+    o = T_cw[:3, 3]
+    Kinv = np.linalg.inv(K)
+    xs, ys = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+    rays_world = (np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ Kinv.T) @ R_wc.T
+
+    zbuf = np.where(depth > 0, depth, np.inf)
+    for c, n, e1, e2, half, tex in _patch_params(scene):
+        denom = rays_world @ n
+        numer = (c - o) @ n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = numer / denom
+        hit = np.isfinite(z) & (z > 0.05)
+        X = o[None, None, :] + np.where(hit, z, 0.0)[..., None] * rays_world
+        a = (X - c) @ e1
+        b = (X - c) @ e2
+        hit &= (np.abs(a) < half[0]) & (np.abs(b) < half[1]) & (z < zbuf)
+        freqs, phases, amps = _texture_params(tex)
+        t = tex.base_intensity * np.ones_like(a)
+        for k in range(len(amps)):
+            t = t + amps[k] * np.sin(freqs[k, 0] * a + phases[k, 0]) * np.cos(
+                freqs[k, 1] * b + phases[k, 1]
+            )
+        intensity = np.where(hit, np.clip(t, 0.0, 255.0), intensity)
+        zbuf = np.where(hit, z, zbuf)
+    depth = np.where(np.isfinite(zbuf), zbuf, 0.0)
+    return intensity.astype(np.float32), depth.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorModel:
+    """Kinect-like sensor degradation with EXACT pose ground truth preserved.
+
+    Defaults follow the published Kinect v1 error model (Khoshelham &
+    Elberink 2012: depth noise sigma ~ 1.2 mm + quadratic growth) and TUM's
+    recording format (uint16 depth at 1/5000 m quantization); exposure drift
+    models the auto-exposure gain/bias wander real sequences show.
+    """
+
+    intensity_noise: float = 2.0  # gray levels, additive Gaussian
+    exposure_gain_amp: float = 0.05  # multiplicative drift amplitude
+    exposure_bias_amp: float = 4.0  # additive drift amplitude (gray levels)
+    depth_noise_a: float = 0.0012  # sigma(z) = a + b * (z - 0.4)^2  [m]
+    depth_noise_b: float = 0.0019
+    depth_quantization: float = 1.0 / 5000.0  # TUM uint16 depth step
+    hole_fraction: float = 0.03  # random dropout blobs
+    edge_hole_threshold: float = 0.04  # depth-gradient [m/px] that kills pixels
+    seed: int = 0
+
+
+def degrade(
+    intensity: np.ndarray,
+    depth: np.ndarray,
+    model: SensorModel = SensorModel(),
+    frame_index: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply the sensor model to a clean rendered frame (per-frame RNG is
+    derived from (seed, frame_index) so sequences are reproducible)."""
+    rng = np.random.default_rng((model.seed + 1) * 100003 + frame_index)
+    H, W = intensity.shape
+
+    # photometric: auto-exposure drift + shot noise (violates the brightness-
+    # constancy assumption the aligner relies on, like real sequences do)
+    phase = 2 * np.pi * rng.uniform()
+    gain = 1.0 + model.exposure_gain_amp * np.sin(0.3 * frame_index + phase)
+    bias = model.exposure_bias_amp * np.sin(0.23 * frame_index + 2 * phase)
+    out_i = gain * intensity + bias + rng.normal(0.0, model.intensity_noise, intensity.shape)
+    out_i = np.clip(out_i, 0.0, 255.0).astype(np.float32)
+
+    # depth: distance-dependent noise, quantization, holes
+    valid = depth > 0
+    sigma = model.depth_noise_a + model.depth_noise_b * np.square(np.maximum(depth - 0.4, 0.0))
+    out_d = depth + rng.normal(0.0, 1.0, depth.shape) * sigma
+    if model.depth_quantization > 0:
+        out_d = np.round(out_d / model.depth_quantization) * model.depth_quantization
+    # holes at depth discontinuities (stereo shadowing)
+    gy, gx = np.gradient(np.where(valid, depth, 0.0))
+    edge = np.hypot(gx, gy) > model.edge_hole_threshold
+    # random dropout blobs (low-res noise field thresholded -> speckle holes)
+    blob = rng.normal(size=(H // 8 + 1, W // 8 + 1))
+    blob = np.kron(blob, np.ones((8, 8)))[:H, :W]
+    dropout = blob > np.quantile(blob, 1.0 - model.hole_fraction)
+    out_d = np.where(valid & ~edge & ~dropout, out_d, 0.0)
+    return out_i, np.maximum(out_d, 0.0).astype(np.float32)
 
 
 def smooth_trajectory(

@@ -1,0 +1,225 @@
+"""Fused sequential odometry: the whole per-frame update as ONE device program.
+
+The host pipeline (`pipeline.OdometryPipeline`) mirrors the reference's node
+loop faithfully but pays several host<->device round-trips per frame (frame
+build, align, prediction, pose fetch). This module is the TPU-throughput
+variant of the same odometry front end (NodeRgbdAlignment::processFrame,
+NodeRgbdAlignment.cpp:121-149, minus the mapping backend): pyramid build +
+constant-motion prediction + joint {keyframe, last-frame} dense alignment +
+speed update + keyframe policy are fused into a single jitted step, and a
+`lax.scan` runs a CHUNK of prefetched frames per dispatch — one host
+round-trip per chunk instead of several per frame.
+
+Keyframe policy on device: every Nth frame OR translation from the keyframe
+exceeding max_translation (KeyFrameSelectionIdx / the translation half of
+KeyFrameSelectionCustom, KeyFrameSelection.cpp:30-54 — the visible-landmark
+half needs the host map and lives in `keyframe.py`).
+
+The pose chain is f32 on device with per-step re-orthonormalization; the
+host converts to f64 at chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alignment import ic
+from ..alignment.ic import AlignmentConfig
+from ..core import se3
+from ..core.camera import Camera
+from ..core.frame import Frame, create_frame
+from ..core.se3 import SE3
+
+__all__ = ["SequentialConfig", "SequentialState", "init_state", "scan_odometry", "SequentialOdometry"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SequentialConfig:
+    """Static configuration (hashable -> jit static arg)."""
+
+    alignment: AlignmentConfig = AlignmentConfig()
+    n_levels: int = 3
+    kf_period: int = 5  # keyframe_selection.idx.period
+    kf_max_translation: float = 0.2  # KeyFrameSelectionCustom translation trigger
+    include_key_frame: bool = True  # align {kf, last} jointly (Odometry.cpp:36)
+
+
+class SequentialState(NamedTuple):
+    kf: Frame
+    last: Frame
+    pose_kf: SE3  # world -> cam
+    pose_last: SE3
+    speed: jax.Array  # (6,) twist / s
+    kf_ctr: jax.Array  # frames since last keyframe (int32)
+
+
+def init_state(
+    intensity: jax.Array,
+    depth: jax.Array,
+    camera: Camera,
+    cfg: SequentialConfig,
+    pose0: Optional[SE3] = None,
+) -> SequentialState:
+    """First frame initializes the chain and is the first keyframe
+    (Odometry.cpp:33-35)."""
+    frame = create_frame(jnp.asarray(intensity, jnp.float32), jnp.asarray(depth, jnp.float32), camera, n_levels=cfg.n_levels)
+    pose = pose0 if pose0 is not None else se3.identity(dtype=jnp.float32)
+    return SequentialState(
+        kf=frame,
+        last=frame,
+        pose_kf=pose,
+        pose_last=pose,
+        speed=jnp.zeros(6, jnp.float32),
+        kf_ctr=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _select_tree(pred, a, b):
+    return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cfg: SequentialConfig):
+    """One fused odometry update. `live` masks padded scan slots: a dead slot
+    passes state through and re-emits the last pose."""
+    cur = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
+
+    # constant-motion prediction (MotionPrediction.cpp:49-55)
+    rel_pred_last = se3.exp(state.speed * dt)
+    pred_pose = se3.compose(rel_pred_last, state.pose_last)
+
+    if cfg.include_key_frame:
+        refs = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), state.kf, state.last)
+        rel_k = se3.compose(pred_pose, se3.inverse(state.pose_kf))
+        rel_l = se3.compose(pred_pose, se3.inverse(state.pose_last))
+        rel_init = SE3(jnp.stack([rel_k.R, rel_l.R]), jnp.stack([rel_k.t, rel_l.t]))
+        x_pred = jnp.stack([se3.log(rel_k), se3.log(rel_l)])
+    else:
+        refs = jax.tree_util.tree_map(lambda a: a[None], state.last)
+        rel_l = se3.compose(pred_pose, se3.inverse(state.pose_last))
+        rel_init = SE3(rel_l.R[None], rel_l.t[None])
+        x_pred = se3.log(rel_l)[None]
+
+    rel, cov, ok = ic.align(refs, cur, rel_init, x_pred, cfg.alignment)
+    pose_ref0 = state.pose_kf if cfg.include_key_frame else state.pose_last
+    pose_aligned = se3.orthonormalize(se3.compose(SE3(rel.R[0], rel.t[0]), pose_ref0))
+    pose_new = _select_tree(ok, pose_aligned, pred_pose)
+
+    # speed = log(relative last -> new) / dt; zero on alignment failure
+    # (Odometry.cpp:44-56)
+    rel_last = se3.compose(pose_new, se3.inverse(state.pose_last))
+    speed_new = jnp.where(ok & (dt > 0), se3.log(rel_last) / jnp.maximum(dt, 1e-6), jnp.zeros(6, jnp.float32))
+
+    # keyframe policy: idx period or translation trigger
+    ctr = state.kf_ctr + 1
+    rel_kf = se3.compose(pose_new, se3.inverse(state.pose_kf))
+    is_kf = (ctr >= cfg.kf_period) | (jnp.linalg.norm(rel_kf.t) > cfg.kf_max_translation)
+
+    new_state = SequentialState(
+        kf=_select_tree(is_kf, cur, state.kf),
+        last=cur,
+        pose_kf=_select_tree(is_kf, pose_new, state.pose_kf),
+        pose_last=pose_new,
+        speed=speed_new,
+        kf_ctr=jnp.where(is_kf, 0, ctr).astype(jnp.int32),
+    )
+    new_state = _select_tree(live, new_state, state)
+    pose_out = _select_tree(live, pose_new, state.pose_last)
+    return new_state, (pose_out, ok & live, cov)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def scan_odometry(
+    state: SequentialState,
+    intensity: jax.Array,  # (K, H, W) f32
+    depth: jax.Array,  # (K, H, W) f32
+    dt: jax.Array,  # (K,) seconds since previous frame
+    live: jax.Array,  # (K,) bool, False for padded slots
+    camera: Camera,
+    cfg: SequentialConfig,
+):
+    """Run a chunk of K frames in one dispatch. Returns
+    (state, poses SE3 (K,), valid (K,), cov (K, 6, 6))."""
+
+    def body(st, inp):
+        i, d, dt_i, lv = inp
+        return _step(st, i, d, dt_i, lv, camera, cfg)
+
+    state, (poses, valid, cov) = jax.lax.scan(body, state, (intensity, depth, dt, live))
+    return state, poses, valid, cov
+
+
+class SequentialOdometry:
+    """Host driver for the fused path: feed (t_ns, intensity, depth) frames,
+    collect a TUM trajectory. One device dispatch + one fetch per chunk."""
+
+    def __init__(self, camera: Camera, cfg: SequentialConfig = SequentialConfig(), chunk: int = 16):
+        self.camera = camera
+        self.cfg = cfg
+        self.chunk = int(chunk)
+        self.state: Optional[SequentialState] = None
+        self._t_last_ns: Optional[int] = None
+
+    def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]):
+        """Returns list of (t_ns, pose world->cam 4x4 f64, cov 6x6 f64)."""
+        out: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        for item in stream:
+            buf.append(item)
+            if self.state is None:
+                t_ns, i0, d0 = buf.pop(0)
+                self.state = init_state(i0, d0, self.camera, self.cfg)
+                self._t_last_ns = int(t_ns)
+                out.append((int(t_ns), np.eye(4), np.eye(6)))
+                continue
+            if len(buf) == self.chunk:
+                out.extend(self._flush(buf))
+                buf = []
+        if buf:
+            out.extend(self._flush(buf))
+        return out
+
+    def _flush(self, buf):
+        K = self.chunk
+        n = len(buf)
+        H, W = buf[0][1].shape
+        intensity = np.zeros((K, H, W), np.float32)
+        depth = np.zeros((K, H, W), np.float32)
+        dts = np.zeros(K, np.float32)
+        live = np.zeros(K, bool)
+        t_prev = self._t_last_ns
+        stamps = []
+        for j, (t_ns, i, d) in enumerate(buf):
+            intensity[j] = i
+            depth[j] = d
+            dts[j] = (int(t_ns) - t_prev) / 1e9
+            live[j] = True
+            t_prev = int(t_ns)
+            stamps.append(int(t_ns))
+        self._t_last_ns = t_prev
+
+        self.state, poses, valid, cov = scan_odometry(
+            self.state,
+            jnp.asarray(intensity),
+            jnp.asarray(depth),
+            jnp.asarray(dts),
+            jnp.asarray(live),
+            self.camera,
+            self.cfg,
+        )
+        R = np.asarray(poses.R, np.float64)  # one fetch
+        t = np.asarray(poses.t, np.float64)
+        covs = np.asarray(cov, np.float64)
+        out = []
+        for j in range(n):
+            T = np.eye(4)
+            u, _, vt = np.linalg.svd(R[j])
+            T[:3, :3] = u @ vt
+            T[:3, 3] = t[j]
+            out.append((stamps[j], T, covs[j]))
+        return out
