@@ -48,15 +48,21 @@ def make_frame(pose):
     return create_frame(jnp.asarray(i), jnp.asarray(d), CAM, n_levels=3)
 
 
+@pytest.mark.parametrize("variant", ["point_to_plane", "point_to_point"])
 @pytest.mark.parametrize("xi_true", [
     np.array([0.02, -0.01, 0.01, 0.0, 0.0, 0.0]),       # translation
     np.array([0.0, 0.0, 0.0, 0.008, -0.01, 0.006]),     # rotation
     np.array([0.015, 0.01, -0.01, 0.005, 0.006, -0.004]),  # both
 ])
-def test_icp_recovery(xi_true):
+def test_icp_recovery(xi_true, variant):
     pose_cur = lie_np.exp(xi_true)
     f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
-    cfg = IcpConfig(solver=SolverConfig(max_iterations=30, min_step_size=1e-7))
+    cfg = IcpConfig(solver=SolverConfig(max_iterations=30, min_step_size=1e-7), variant=variant)
+    # point-to-point with projective association carries a known accuracy
+    # handicap (association error does not cancel along the surface the way
+    # the point-to-plane residual lets it); it is the baseline formulation
+    # (PCL role), so it gets the looser budget
+    budget = 0.012 if variant == "point_to_plane" else 0.03
     rel0 = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
     rel, cov, ok = align_icp(f_ref, f_cur, rel0, cfg)
     assert bool(ok)
@@ -66,7 +72,7 @@ def test_icp_recovery(xi_true):
     u, _, vt = np.linalg.svd(T[:3, :3])
     T[:3, :3] = u @ vt
     err = np.linalg.norm(lie_np.log(T) - xi_true)
-    assert err < 0.012, f"icp error {err} for xi {xi_true}"
+    assert err < budget, f"icp error {err} for xi {xi_true}"
 
 
 def test_icp_aligner_interface():

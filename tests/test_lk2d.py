@@ -30,7 +30,8 @@ def test_optical_flow_recovery(rng, method):
     np.testing.assert_allclose(np.asarray(flow), flow_true, atol=0.1)
 
 
-def test_affine_recovery(rng):
+@pytest.mark.parametrize("method", ["inverse_compositional", "forward_additive"])
+def test_affine_recovery(rng, method):
     img = smooth_image(rng)
     H, W = img.shape
     p_true = np.array([0.02, 0.01, -0.015, 0.025, 1.5, -2.0])
@@ -43,13 +44,33 @@ def test_affine_recovery(rng):
     # scipy affine_transform maps output->input with (row, col) convention:
     # out(i,j) = in(M @ (i,j) + offset); our warp is (x=col, y=row), so the
     # matrix above is transposed into row-major order.
-    cfg = lk2d.Lk2dConfig(solver=lk2d.Lk2dConfig().solver)
+    cfg = lk2d.Lk2dConfig(method=method)
     p, res = lk2d.align_affine(jnp.asarray(img), jnp.asarray(image), cfg=cfg)
     assert bool(res.valid)
     got = np.asarray(p)
     # compare resulting warp matrices (parameter-space compare is scale-skewed)
     A_got = np.array([[1 + got[0], got[2], got[4]], [got[1], 1 + got[3], got[5]]])
     np.testing.assert_allclose(A_got, A, atol=0.05)
+
+
+def test_affine_fa_ic_parity(rng):
+    """FA and IC must agree on the recovered warp (ForwardAdditive vs
+    InverseCompositional consistency, the reference's dual-solver role)."""
+    img = smooth_image(rng)
+    p_true = np.array([0.01, -0.005, 0.008, 0.012, -1.0, 1.5])
+    A = np.array([[1 + p_true[0], p_true[2], p_true[4]], [p_true[1], 1 + p_true[3], p_true[5]]])
+    Ainv = np.linalg.inv(np.vstack([A, [0, 0, 1]]))
+    image = affine_transform(
+        img, Ainv[:2, :2].T, offset=(Ainv[1, 2], Ainv[0, 2]), order=1, mode="nearest"
+    )
+    p_ic, r_ic = lk2d.align_affine(
+        jnp.asarray(img), jnp.asarray(image), cfg=lk2d.Lk2dConfig(method="inverse_compositional")
+    )
+    p_fa, r_fa = lk2d.align_affine(
+        jnp.asarray(img), jnp.asarray(image), cfg=lk2d.Lk2dConfig(method="forward_additive")
+    )
+    assert bool(r_ic.valid) and bool(r_fa.valid)
+    np.testing.assert_allclose(np.asarray(p_ic), np.asarray(p_fa), atol=0.02)
 
 
 def test_flow_zero_for_identical_images(rng):

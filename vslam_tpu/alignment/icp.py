@@ -46,6 +46,10 @@ class IcpConfig:
     max_distance: float = 0.25  # gate on point-pair distance [m]
     min_cos_normal: float = 0.5  # gate on normal agreement
     coarsest_level: Optional[int] = None  # default: all levels
+    # "point_to_plane": the cv::rgbd ICPOdometry formulation (default).
+    # "point_to_point": the PCL IterativeClosestPoint formulation
+    # (IterativeClosestPoint.cpp:22-108) — 3 residuals per correspondence.
+    variant: str = "point_to_plane"
 
 
 def _normals_from_depth(points: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -68,6 +72,20 @@ def _normals_from_depth(points: jax.Array, valid: jax.Array) -> Tuple[jax.Array,
     return n, ok
 
 
+def _hat(p: jax.Array) -> jax.Array:
+    """Batched skew matrices: (P, 3) -> (P, 3, 3)."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera, rel0: SE3, cfg: IcpConfig):
     H, W = ref_valid.shape
     P = H * W
@@ -78,8 +96,11 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
     ok_map = cur_ok.reshape(P)
     dtype = p_ref.dtype
 
-    def compute_ne(delta: SE3) -> NormalEquations:
-        T = se3.compose(rel0, delta)
+    # Solve over the full transform T directly (initialized at rel0) with the
+    # left-multiplicative update T <- exp(-dx) . T: the Jacobian below is the
+    # left perturbation of T, so framing the state as rel0 . delta would
+    # mis-map the step by Adj(rel0) when the initial relative motion is large.
+    def compute_ne(T: SE3) -> NormalEquations:
         p = se3.transform_points(T, p_ref)
         uv, zok = cam_mod.project(cam_cur, p)
         u = jnp.clip(jnp.floor(uv[..., 0] + 0.5), 0, W - 1).astype(jnp.int32)
@@ -91,27 +112,41 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
         qok = jnp.take(ok_map, idx, axis=0)
         d = p - q
         dist = jnp.linalg.norm(d, axis=-1)
-        r = jnp.sum(n * d, axis=-1)
         valid = m_ref & zok & inb & qok & (dist < cfg.max_distance)
         w = valid.astype(dtype)
-        # J = [n ; (p x n)] for left-multiplicative update exp(dx) . T
-        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
-        J = J * w[:, None]
-        A = J.T @ (J)
-        b = J.T @ (r * w)
         # NOTE: unlike the photometric NE, A is NOT normalized by the
-        # constraint count — point-to-plane entries are O(1) (unit normals),
-        # and dividing by thousands of points would push det(A) under the
-        # solver's 1e-6 Hessian guard for perfectly well-posed geometry.
+        # constraint count — residual entries are O(1) (metres / unit
+        # normals), and dividing by thousands of points would push det(A)
+        # under the solver's 1e-6 Hessian guard for well-posed geometry.
+        if cfg.variant == "point_to_point":
+            # r = T p - q (3 per correspondence); J_row for left perturbation
+            # exp(dx) . T is [I | -[Tp]x] (PCL point-to-point objective,
+            # IterativeClosestPoint.cpp:22-108)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
+            px = _hat(p)
+            J3 = jnp.concatenate([eye, -px], axis=-1)  # (P, 3, 6)
+            Jf = (J3 * w[:, None, None]).reshape(P * 3, 6)
+            J0 = J3.reshape(P * 3, 6)
+            rf = (d * w[:, None]).reshape(P * 3)
+            A = Jf.T @ J0
+            b = Jf.T @ rf
+            chi2 = jnp.sum(w[:, None] * d * d)
+        else:  # point_to_plane
+            r = jnp.sum(n * d, axis=-1)
+            # J = [n ; (p x n)] for left-multiplicative update exp(dx) . T
+            J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+            Jw = J * w[:, None]
+            A = Jw.T @ J
+            b = Jw.T @ (r * w)
+            chi2 = jnp.sum(w * r * r)
         nc = jnp.sum(w)
-        return NormalEquations(A, b, jnp.sum(w * r * r), nc)
+        return NormalEquations(A, b, chi2, nc)
 
-    def update(delta: SE3, dx: jax.Array) -> SE3:
-        return se3.orthonormalize(se3.compose(se3.exp(-dx), delta))
+    def update(T: SE3, dx: jax.Array) -> SE3:
+        return se3.orthonormalize(se3.compose(se3.exp(-dx), T))
 
-    ident = se3.identity(dtype=dtype)
-    res = solve_gauss_newton(compute_ne, update, ident, n_params=6, config=cfg.solver)
-    return se3.compose(rel0, res.x), res
+    res = solve_gauss_newton(compute_ne, update, rel0, n_params=6, config=cfg.solver)
+    return res.x, res
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -162,16 +162,9 @@ def align_affine(
     n0 = jnp.sum(mask0).astype(dtype)
     t_flat = templ.reshape(-1)
 
-    # steepest-descent rows J = dT . Jw with Jw centered at the principal
-    # point (Warp.cpp:50-55)
+    # warp Jacobian columns centered at the principal point (Warp.cpp:50-55)
     uc = xs - cx
     vc = ys - cy
-    gx = dTx.reshape(-1)
-    gy = dTy.reshape(-1)
-    J = jnp.stack(
-        [gx * uc, gy * uc, gx * vc, gy * vc, gx, gy], axis=-1
-    )
-    J = jnp.where(mask0[:, None], J, 0.0)
 
     def warp_uv(p):
         Wm = _affine_matrix(p)
@@ -179,18 +172,47 @@ def align_affine(
         v = Wm[1, 0] * xs + Wm[1, 1] * ys + Wm[1, 2]
         return u, v
 
-    def compute_ne(p):
-        u, v = warp_uv(p)
-        vis = mask0 & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
-        iw = img_ops.bilinear_sample(image, jnp.where(vis, u, 0.0), jnp.where(vis, v, 0.0))
-        r = jnp.where(vis, iw - t_flat, 0.0)
-        return _masked_ne(J, r, vis, cfg.loss, n0)
+    def _rows(gx, gy):
+        return jnp.stack([gx * uc, gy * uc, gx * vc, gy * vc, gx, gy], axis=-1)
 
-    def update(p, dx):
-        # inverse-compositional: W(p) <- W(p) . W(dx)^-1 (exact composition)
-        Wp = _affine_matrix(p)
-        Wd = _affine_matrix(dx)
-        return _affine_params(Wp @ jnp.linalg.inv(Wd))
+    if cfg.method == "inverse_compositional":
+        # steepest-descent rows J = dT . Jw, precomputed once from the
+        # template gradients (InverseCompositional.cpp:50-59)
+        J = jnp.where(mask0[:, None], _rows(dTx.reshape(-1), dTy.reshape(-1)), 0.0)
+
+        def compute_ne(p):
+            u, v = warp_uv(p)
+            vis = mask0 & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
+            iw = img_ops.bilinear_sample(image, jnp.where(vis, u, 0.0), jnp.where(vis, v, 0.0))
+            r = jnp.where(vis, iw - t_flat, 0.0)
+            return _masked_ne(J, r, vis, cfg.loss, n0)
+
+        def update(p, dx):
+            # inverse-compositional: W(p) <- W(p) . W(dx)^-1 (exact composition)
+            Wp = _affine_matrix(p)
+            Wd = _affine_matrix(dx)
+            return _affine_params(Wp @ jnp.linalg.inv(Wd))
+
+    else:  # forward_additive (ForwardAdditive.cpp:51-90)
+        dIx = img_ops.sobel_x(img_ops.gaussian_blur_3x3(image)) / 8.0
+        dIy = img_ops.sobel_y(img_ops.gaussian_blur_3x3(image)) / 8.0
+
+        def compute_ne(p):
+            u, v = warp_uv(p)
+            vis = mask0 & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
+            us = jnp.where(vis, u, 0.0)
+            vs = jnp.where(vis, v, 0.0)
+            # J rebuilt each iteration from IMAGE gradients at the warped
+            # coordinates, times the warp Jacobian at the template pixel
+            gx = img_ops.bilinear_sample(dIx, us, vs)
+            gy = img_ops.bilinear_sample(dIy, us, vs)
+            J = jnp.where(vis[:, None], _rows(gx, gy), 0.0)
+            iw = img_ops.bilinear_sample(image, us, vs)
+            r = jnp.where(vis, t_flat - iw, 0.0)  # FA residual T - I(W)
+            return _masked_ne(J, r, vis, cfg.loss, n0)
+
+        def update(p, dx):
+            return p + dx
 
     x_init = x0 if x0 is not None else jnp.zeros(6, dtype)
     res = solve_gauss_newton(compute_ne, update, x_init, n_params=6, config=cfg.solver)
