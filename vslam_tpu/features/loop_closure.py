@@ -1,0 +1,174 @@
+"""Loop closure: keyframe place recognition + geometric verification.
+
+Capability extension over the reference (its backend stops at windowed BA;
+SURVEY §7 M5) that feeds the framework's pose-graph solver
+(`ba/pose_graph.py`) from the live pipeline:
+
+- place recognition: every keyframe's BRIEF-256 descriptor set is held in a
+  host-side database; a query scores past keyframes by ratio-test match
+  count, where each descriptor-set comparison is ONE (N, M) MXU distance
+  matrix (`matcher.descriptor_l1_matrix`).
+- geometric verification: matched keypoints with valid depth give 3D-3D
+  correspondences in the two camera frames; a Kabsch/Horn RANSAC estimates
+  the relative transform and counts inliers — a loop is accepted only with
+  enough geometric inliers, which kills perceptual aliasing.
+
+The accepted output is a pose-graph edge (i_old, j_new, rel = T_new .
+T_old^-1, information) for `optimize_pose_graph`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.metrics import align_horn
+from . import matcher as match_mod
+
+__all__ = ["LoopClosureConfig", "LoopCandidate", "KeyframeDatabase", "estimate_rel_3d3d"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    min_gap: int = 5  # skip this many most-recent keyframes (temporal neighbors)
+    min_matches: int = 12  # descriptor matches to attempt verification
+    min_inliers: int = 10  # 3D-3D RANSAC inliers to accept the loop
+    ransac_iterations: int = 100
+    inlier_threshold: float = 0.05  # [m]
+    max_descriptor_distance: float = 80.0  # L1 bits (of 256)
+
+
+class LoopCandidate(NamedTuple):
+    kf_id: int  # matched (older) keyframe id
+    rel: np.ndarray  # 4x4, T_new . T_old^-1 (world->cam convention)
+    n_inliers: int
+    info: np.ndarray  # (6, 6) edge information
+
+
+def estimate_rel_3d3d(
+    p_old: np.ndarray,  # (N, 3) points in the OLD camera frame
+    p_new: np.ndarray,  # (N, 3) same landmarks in the NEW camera frame
+    iterations: int = 100,
+    threshold: float = 0.05,
+    seed: int = 0,
+):
+    """RANSAC Kabsch: rigid T with p_new ~= R p_old + t. Returns
+    (T 4x4, inlier mask)."""
+    N = len(p_old)
+    rng = np.random.default_rng(seed)
+    best_inl = np.zeros(N, bool)
+    if N < 3:
+        return np.eye(4), best_inl
+    for _ in range(iterations):
+        idx = rng.choice(N, 3, replace=False)
+        try:
+            R, t = align_horn(p_old[idx], p_new[idx])
+        except np.linalg.LinAlgError:
+            continue
+        err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)
+        inl = err < threshold
+        if inl.sum() > best_inl.sum():
+            best_inl = inl
+    if best_inl.sum() >= 3:
+        R, t = align_horn(p_old[best_inl], p_new[best_inl])
+        err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)
+        best_inl = err < threshold
+        if best_inl.sum() >= 3:
+            R, t = align_horn(p_old[best_inl], p_new[best_inl])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T, best_inl
+
+
+@dataclasses.dataclass
+class _Entry:
+    kf_id: int
+    descriptors: np.ndarray  # (N, 256)
+    p_cam: np.ndarray  # (N, 3) camera-frame 3D points (z<=0 where no depth)
+
+
+class KeyframeDatabase:
+    """Host-side place-recognition database over keyframe descriptor sets."""
+
+    def __init__(self, cfg: LoopClosureConfig = LoopClosureConfig()):
+        self.cfg = cfg
+        self._entries: List[_Entry] = []
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    @staticmethod
+    def _points_cam(frame) -> np.ndarray:
+        """(N, 3) camera-frame points from keypoints + depth (z=-1 invalid)."""
+        cam = frame.frame.cameras[0]
+        fx, fy = float(cam.fx), float(cam.fy)
+        cx, cy = float(cam.cx), float(cam.cy)
+        uv = np.asarray(frame.keypoints, np.float64)
+        z = np.asarray(frame.kp_depth, np.float64)
+        ok = z > 0
+        zs = np.where(ok, z, 1.0)
+        x = (uv[:, 0] - cx) / fx * zs
+        y = (uv[:, 1] - cy) / fy * zs
+        p = np.stack([x, y, zs], axis=1)
+        p[~ok] = [0.0, 0.0, -1.0]
+        return p
+
+    def add(self, frame) -> None:
+        """Register a keyframe (HostFrame with extracted features)."""
+        if frame.keypoints is None or len(frame.keypoints) == 0:
+            return
+        self._entries.append(
+            _Entry(
+                kf_id=frame.id,
+                descriptors=np.asarray(frame.descriptors, np.float32),
+                p_cam=self._points_cam(frame),
+            )
+        )
+
+    def query(self, frame) -> Optional[LoopCandidate]:
+        """Find a verified loop closure for the given keyframe (which should
+        already have been `add`ed or is about to be)."""
+        cfg = self.cfg
+        if frame.keypoints is None or len(frame.keypoints) == 0:
+            return None
+        candidates = [e for e in self._entries if e.kf_id != frame.id]
+        candidates = candidates[: len(candidates) - cfg.min_gap] if len(candidates) > cfg.min_gap else []
+        if not candidates:
+            return None
+        desc_q = jnp.asarray(frame.descriptors, jnp.float32)
+        p_new_all = self._points_cam(frame)
+
+        best: Optional[LoopCandidate] = None
+        for e in candidates:
+            d = match_mod.descriptor_l1_matrix(desc_q, jnp.asarray(e.descriptors))
+            res = match_mod.ratio_match(
+                d, max_distance=cfg.max_descriptor_distance, unique=True
+            )
+            ok = np.asarray(res.valid)
+            if int(ok.sum()) < cfg.min_matches:
+                continue
+            qi = np.nonzero(ok)[0]
+            ci = np.asarray(res.idx)[qi]
+            p_new = p_new_all[qi]
+            p_old = e.p_cam[ci]
+            geom = (p_new[:, 2] > 0) & (p_old[:, 2] > 0)
+            if geom.sum() < 3:
+                continue
+            T, inl = estimate_rel_3d3d(
+                p_old[geom],
+                p_new[geom],
+                iterations=cfg.ransac_iterations,
+                threshold=cfg.inlier_threshold,
+                seed=e.kf_id,
+            )
+            n_inl = int(inl.sum())
+            if n_inl >= cfg.min_inliers and (best is None or n_inl > best.n_inliers):
+                # information scales with inlier support; rotation block
+                # stiffer than translation (point noise couples into t first)
+                info = np.eye(6) * (n_inl * 10.0)
+                best = LoopCandidate(kf_id=e.kf_id, rel=T, n_inliers=n_inl, info=info)
+        return best

@@ -25,7 +25,7 @@ from ..config import PipelineConfig
 from ..core.camera import Camera
 from ..core.frame import create_frame
 from ..utils import timer
-from ..utils.log import get_logger, log_img
+from ..utils.log import get_logger, log_img, log_plt
 from .keyframe import make_keyframe_selection
 from .map import HostFrame, Map
 from .motion_model import make_motion_prediction
@@ -60,14 +60,28 @@ class OdometryPipeline:
         )
         self.trajectory = Trajectory()
         self._log = get_logger("odometry")
+        # enable visual-log sinks requested by the config (the reference
+        # wires log.image/plot show flags at node startup,
+        # NodeMapping.cpp:125-135)
+        for name in cfg.log_image_enabled:
+            log_img(name).enabled = True
+        for name in cfg.log_plot_enabled:
+            log_plt(name).enabled = True
         self._tracking = None
         self._ba = None
-        if cfg.enable_mapping:
+        self._graph = None
+        if cfg.enable_mapping or cfg.enable_loop_closure:
             from ..features.tracking import FeatureTracking
-            from ..ba.bundle_adjustment import BundleAdjustment
 
             self._tracking = FeatureTracking()
+        if cfg.enable_mapping:
+            from ..ba.bundle_adjustment import BundleAdjustment
+
             self._ba = BundleAdjustment(max_iterations=cfg.ba_max_iterations)
+        if cfg.enable_loop_closure:
+            from .graph_backend import PoseGraphBackend
+
+            self._graph = PoseGraphBackend()
 
     def process_frame(
         self, t_ns: int, intensity: np.ndarray, depth: np.ndarray
@@ -100,7 +114,7 @@ class OdometryPipeline:
             dbg = debug_images(self.map.last_frame().frame, frame.frame, rel)
             log_img("ImageWarped").log(dbg["image_warped"])
             log_img("Residual").log(dbg["residual"])
-        self.prediction.update(frame.pose, t_ns)
+        self.prediction.update(frame.pose, t_ns, cov=frame.cov)
 
         self.keyframe_selection.update(frame)
         is_kf = self.keyframe_selection.is_keyframe() or self.map.last_kf() is None
@@ -109,14 +123,36 @@ class OdometryPipeline:
         if is_kf and self._tracking is not None:
             try:
                 with timer.scope("pipeline.mapping"):
-                    new_points = self._tracking.track(frame, self.map)
-                self.map.insert_points(new_points)
+                    if self.cfg.enable_mapping:
+                        new_points = self._tracking.track(frame, self.map)
+                        self.map.insert_points(new_points)
+                    else:  # loop-closure-only: features without landmarks
+                        self._tracking.extract(frame)
                 if self._ba is not None and len(self.map.keyframes()) >= 2:
                     poses, points, err0, err1 = self._ba.optimize(self.map)
                     if err1 < err0 and self._ba_sane(poses):
                         self.map.update_poses(poses)
                         self.map.update_points(points)
                         frame.pose = self.map.keyframes()[0].pose
+                        if self._graph is not None:
+                            for fid, T in poses.items():
+                                self._graph.update_pose(fid, T)
+                if self._graph is not None:
+                    with timer.scope("pipeline.loop_closure"):
+                        self._graph.add_keyframe(frame)
+                        corrections = self._graph.try_close(frame)
+                    if corrections:
+                        # write corrected keyframe poses back into the live
+                        # window and re-anchor the current pose on the
+                        # corrected loop-closing keyframe
+                        in_window = {f.id for f in self.map.keyframes()} | {
+                            f.id for f in self.map.frames()
+                        }
+                        for fid, T in corrections.items():
+                            if fid in in_window:
+                                self.map.update_pose(fid, T)
+                        frame.pose = corrections.get(frame.id, frame.pose)
+                        self.prediction.update(frame.pose, t_ns, cov=frame.cov)
             except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
                 self._log.warning("mapping backend failed: %s", exc)
 
