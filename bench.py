@@ -71,11 +71,17 @@ def main():
         # production tracking profile: a fixed budget of interest points
         # (pose has 6 dof; a few thousand well-spread constraints saturate
         # accuracy — the gate below enforces it). Sampling: the reference's
-        # round-to-nearest (1 HBM lookup/point; InverseCompositional.cpp:
-        # 119-120). BENCH_SAMPLER=mxu switches to sub-pixel bilinear on the
-        # MXU (Pallas kernel, ~1.8x faster than bilinear gathers).
+        # round-to-nearest (InverseCompositional.cpp:119-120), evaluated by
+        # the whole-level in-kernel Gauss-Newton solver (fused_solve.py:
+        # warp+sample+JtWJ+Cholesky+guards in ONE Pallas kernel per level,
+        # per-pair early exit under vmap) from a bf16 image copy — measured
+        # 1821 pairs/s vs 1350 for the per-iteration fused-NE kernel and 905
+        # for the XLA gather path, same accuracy-gate margin.
+        # BENCH_SAMPLER=gather|mxu|fused|fused_gn, BENCH_IMG_DTYPE=float32
+        # restore the other paths.
         interpolation=os.environ.get("BENCH_INTERP", "nearest"),
-        sampler=os.environ.get("BENCH_SAMPLER", "gather"),
+        sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+        image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
         max_points=int(os.environ.get("BENCH_POINTS", "2048")),
     )
     x_pred = jnp.zeros((B, 6), jnp.float32)
@@ -175,8 +181,23 @@ def bench_odometry_fps():
     poses = [p @ p0i for p in poses]
     frames = [synthetic.render(K, p, (H, W)) for p in poses]
     dt_ns = int(1e9 / 30)
-    stream = [(i * dt_ns, f[0], f[1]) for i, f in enumerate(frames)]
+    # native TUM transport dtypes (uint8 intensity, uint16 depth in 1/5000 m
+    # units): host->device bytes are the sequential bottleneck on a
+    # remote-attached chip; conversion happens on device (depth_scale)
+    stream = [
+        (
+            i * dt_ns,
+            np.clip(np.round(f[0]), 0, 255).astype(np.uint8),
+            np.clip(np.round(f[1] * 5000.0), 0, 65535).astype(np.uint16),
+        )
+        for i, f in enumerate(frames)
+    ]
 
+    # sequential profile: bilinear sampling (drift accumulates over the pose
+    # chain, and round-to-nearest's quantization floor alone costs ~0.012 m
+    # ATE over 64 frames vs 0.003 m for bilinear) through the in-kernel GN
+    # solver (fused_solve.py) — per-frame latency is dominated by per-
+    # iteration XLA overhead on the gather path (6.8 fps), not compute.
     cfg = SequentialConfig(
         alignment=AlignmentConfig(
             min_gradient=30.0,
@@ -184,9 +205,12 @@ def bench_odometry_fps():
                 max_iterations=100, min_step_size=1e-11, min_relative_reduction=1e-4
             ),
             include_prior=True,
-            interpolation=os.environ.get("BENCH_INTERP", "nearest"),
+            interpolation=os.environ.get("BENCH_ODO_INTERP", "bilinear"),
+            sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+            image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
             max_points=int(os.environ.get("BENCH_POINTS", "2048")),
         ),
+        depth_scale=1.0 / 5000.0,
         n_levels=3,
         kf_period=5,
     )

@@ -7,7 +7,11 @@ driver's `dryrun_multichip` does. Env vars must be set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the shell may carry JAX_PLATFORMS=axon/tpu, which
+# would silently run the whole suite through the remote-TPU tunnel — slow and
+# non-hermetic. The suite is designed for the virtual CPU mesh; TPU-specific
+# measurement lives in bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -2,6 +2,7 @@
 (mirrors reference `test_lukas_kanade_se3.cpp:59-77` and the per-pair budget
 of `test_alignment_se3.cpp:119,146`: average SE(3) log-norm error < 0.01)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -182,3 +183,102 @@ def test_mxu_sampler_matches_gather():
         results[name] = pose_est
     d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results["mxu"])))
     assert d < 1e-3, d
+
+
+def test_fused_ne_matches_gather_ne():
+    """The fused Pallas NE kernel must reproduce the XLA gather path's
+    normal equations (A, b, chi2) at a non-trivial relative pose."""
+    import dataclasses
+
+    from vslam_tpu.alignment import ic
+    from vslam_tpu.alignment.fused_ne import fused_level_ne, pack_level
+    from vslam_tpu.core.se3 import SE3
+
+    f_ref = make_frame(np.eye(4))
+    f_cur = make_frame(lie_np.exp(np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002])))
+    cfg = AlignmentConfig(
+        min_gradient=10.0, include_prior=False, interpolation="bilinear",
+        max_points=2048, sampler="fused",
+    )
+    level = 0
+    cam_ref = Camera(*(jnp.reshape(c, (-1,))[0] for c in f_ref.cameras[level]))
+    data_1 = ic.precompute_level(
+        f_ref.intensity[level], f_ref.dIx[level], f_ref.dIy[level],
+        f_ref.depth[level], cam_ref, cfg.min_gradient, max_points=2048,
+    )
+    data = jax.tree_util.tree_map(lambda x: x[None], data_1)  # F=1
+    rel = SE3(jnp.asarray(lie_np.exp(np.array([0.002, 0.001, -0.003, 0.001, 0.0, 0.002]))[None, :3, :3], jnp.float32),
+              jnp.zeros((1, 3), jnp.float32))
+
+    ne_gather = ic.level_normal_equations(
+        data, rel, f_cur.intensity[level], f_cur.cameras[level],
+        dataclasses.replace(cfg, sampler="gather"), None,
+    )
+    ne_fused = ic.level_normal_equations(
+        data, rel, f_cur.intensity[level], f_cur.cameras[level], cfg, None,
+    )
+    np.testing.assert_allclose(np.asarray(ne_fused.A), np.asarray(ne_gather.A), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ne_fused.b), np.asarray(ne_gather.b), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(float(ne_fused.chi2), float(ne_gather.chi2), rtol=1e-3)
+    assert float(ne_fused.n) == float(ne_gather.n)
+
+
+@pytest.mark.parametrize("sampler", ["fused", "fused_gn"])
+@pytest.mark.parametrize("image_dtype", ["float32", "bfloat16"])
+def test_fused_sampler_alignment_parity(sampler, image_dtype):
+    """End-to-end alignment through the fused kernels — the per-iteration NE
+    kernel ("fused") and the whole-level in-kernel GN solver ("fused_gn") —
+    converges to the gather path's pose (bf16 image mode within a slightly
+    looser tolerance)."""
+    import dataclasses
+
+    xi_true = np.array([0.012, -0.006, 0.009, 0.003, -0.005, 0.002])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    base = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear", max_points=4096,
+    )
+    results = {}
+    for name, idt in [("gather", "float32"), (sampler, image_dtype)]:
+        cfg = dataclasses.replace(base, sampler=name, image_dtype=idt)
+        pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+        assert ok, name
+        err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+        assert err < 0.01, f"{name} err {err}"
+        results[name] = pose_est
+    d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results[sampler])))
+    # bf16 tolerance: bf16 residual sums shift the chi2-based convergence
+    # tests, and the in-kernel solver ("fused_gn") exits at its own iterate
+    # rather than the batch-synchronized one — paths agree to ~5e-3 while
+    # each stays within the reference's 1e-2 absolute budget (asserted above)
+    assert d < (1e-3 if image_dtype == "float32" else 6e-3), d
+
+
+def test_fused_gn_stacked_with_prior_matches_gather():
+    """The in-kernel GN solver must reproduce the XLA path on the production
+    shape of the problem: TWO stacked reference frames (keyframe + last,
+    InverseCompositionalStacked.cpp:48-62) plus the motion prior
+    (SE3Alignment.cpp:37-47), at nearest interpolation (the bench profile)."""
+    import dataclasses
+
+    xi01 = np.array([0.008, -0.004, 0.006, 0.002, -0.003, 0.001])
+    xi12 = np.array([0.006, 0.005, -0.004, -0.002, 0.002, 0.002])
+    p0 = np.eye(4)
+    p1 = lie_np.exp(xi01) @ p0
+    p2 = lie_np.exp(xi12) @ p1
+    f0, f1, f2 = make_frame(p0), make_frame(p1), make_frame(p2)
+    base = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=True,
+        interpolation="nearest", max_points=2048,
+    )
+    results = {}
+    for name in ["gather", "fused_gn"]:
+        cfg = dataclasses.replace(base, sampler=name)
+        pose_est, _, ok = RgbdAligner(cfg).align([f0, f1], [p0, p1], f2, lie_np.exp(xi12) @ p1)
+        assert ok, name
+        err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, p2)))
+        assert err < 0.02, f"{name} err {err}"
+        results[name] = pose_est
+    d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results["fused_gn"])))
+    assert d < 2e-3, d

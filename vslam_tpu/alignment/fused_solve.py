@@ -1,0 +1,404 @@
+"""Whole-level Gauss-Newton solver as ONE Pallas TPU kernel.
+
+The reference's entire `GaussNewton::solve` over an `InverseCompositional`
+problem (`GaussNewton.cpp:33-102` + `InverseCompositional.cpp:105-153`) runs
+on-chip as a single kernel instance per frame-pair: the iteration
+`while_loop`, the residual/Gram passes (`fused_ne._gram_chunk`), the 6x6
+Cholesky solve, the guard/rollback logic and the compositional SE(3) update
+all execute without returning to XLA between iterations.
+
+Why this beats the per-iteration fused-NE kernel:
+- Per-pair early exit. Under `vmap`, an XLA `while_loop` runs every pair for
+  the *maximum* iteration count in the batch; here each grid step (pair)
+  stops at its own convergence — batched cost scales with the *mean*.
+- Zero per-iteration launch/HLO overhead: the ~30 small XLA ops per GN
+  iteration (compose, Cholesky, norms, history scatter) become straight-line
+  scalar-core code between the vector passes.
+
+The 6-dof linear algebra runs on f32 scalars (registers / scalar core):
+unrolled Cholesky with the determinant guard (mirroring
+`solvers/linalg6.py`), Rodrigues exp and the SE(3) log via polynomial series
+(valid for inter-frame rotations below ~pi/2 — always true for tracking;
+the XLA path in `ic.solve_level` remains the general fallback and the
+semantics oracle, tested against this kernel).
+
+Guard semantics mirrored 1:1 from `solvers/gauss_newton.solve_gauss_newton`
+(itself mirroring GaussNewton.cpp:53-98): constraint-count stop, |det|>=1e-6
+stop, chi2-regression rollback to the pre-iteration x, step/gradient/
+reduction convergence from the second iteration, NaN-step restore-and-stop.
+Per-iteration history buffers are not recorded in-kernel (use the XLA path
+for LOG_PLT solver plots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.camera import Camera
+from ..core.se3 import SE3
+from .fused_ne import _CHUNK, _gram_chunk, pack_level
+
+__all__ = ["solve_level_fused"]
+
+
+# ---------------------------------------------------------------------------
+# Scalar SE(3) helpers (tuples of traced f32 scalars; straight-line code)
+# ---------------------------------------------------------------------------
+
+
+def _mat3_mul(a, b):
+    """Row-major 9-tuples: (a @ b)."""
+    return tuple(
+        a[3 * i + 0] * b[3 * 0 + j] + a[3 * i + 1] * b[3 * 1 + j] + a[3 * i + 2] * b[3 * 2 + j]
+        for i in range(3)
+        for j in range(3)
+    )
+
+
+def _mat3_vec(a, v):
+    return tuple(a[3 * i] * v[0] + a[3 * i + 1] * v[1] + a[3 * i + 2] * v[2] for i in range(3))
+
+
+def _se3_exp(xi):
+    """Scalar Rodrigues/V-matrix exp (se3.exp); series coefficients
+    A = sin t/t, B = (1-cos t)/t^2, C = (t-sin t)/t^3 as polynomials in t^2
+    (f32-exact below |t| ~ 1; GN steps are far smaller)."""
+    rho = xi[:3]
+    wx, wy, wz = xi[3], xi[4], xi[5]
+    t2 = wx * wx + wy * wy + wz * wz
+    A = 1.0 - t2 / 6.0 + t2 * t2 / 120.0 - t2 * t2 * t2 / 5040.0
+    B = 0.5 - t2 / 24.0 + t2 * t2 / 720.0 - t2 * t2 * t2 / 40320.0
+    C = 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0 - t2 * t2 * t2 / 362880.0
+    # W and W^2 entries (row-major)
+    W = (0.0, -wz, wy, wz, 0.0, -wx, -wy, wx, 0.0)
+    W2 = _mat3_mul(W, W)
+    eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    R = tuple(eye[k] + A * W[k] + B * W2[k] for k in range(9))
+    V = tuple(eye[k] + B * W[k] + C * W2[k] for k in range(9))
+    return R, _mat3_vec(V, rho)
+
+
+def _se3_log(R, t):
+    """Scalar SE(3) log via series (se3.log); valid for theta < ~pi/2 —
+    the tracking regime the motion prior operates in."""
+    v0 = R[7] - R[5]  # R[2,1]-R[1,2]
+    v1 = R[2] - R[6]  # R[0,2]-R[2,0]
+    v2 = R[3] - R[1]  # R[1,0]-R[0,1]
+    s2 = 0.25 * (v0 * v0 + v1 * v1 + v2 * v2)  # sin^2 theta
+    # theta/(2 sin theta) = asin(s)/(2 s) = 0.5 (1 + s^2/6 + 3 s^4/40 + 15 s^6/336)
+    factor = 0.5 * (1.0 + s2 / 6.0 + 3.0 * s2 * s2 / 40.0 + 15.0 * s2 * s2 * s2 / 336.0)
+    phi = (factor * v0, factor * v1, factor * v2)
+    t2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+    cot = 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0
+    W = (0.0, -phi[2], phi[1], phi[2], 0.0, -phi[0], -phi[1], phi[0], 0.0)
+    W2 = _mat3_mul(W, W)
+    eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    Vinv = tuple(eye[k] - 0.5 * W[k] + cot * W2[k] for k in range(9))
+    rho = _mat3_vec(Vinv, t)
+    return rho + phi
+
+
+def _orthonormalize(R):
+    """Column Gram-Schmidt, mirroring se3.orthonormalize (columns r0, r1)."""
+    c0 = (R[0], R[3], R[6])
+    c1 = (R[1], R[4], R[7])
+
+    def norm3(v):
+        return jnp.sqrt(jnp.maximum(v[0] * v[0] + v[1] * v[1] + v[2] * v[2], 1e-24))
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2], a[0] * b[1] - a[1] * b[0])
+
+    n0 = norm3(c0)
+    x = (c0[0] / n0, c0[1] / n0, c0[2] / n0)
+    z = cross(x, c1)
+    nz = norm3(z)
+    z = (z[0] / nz, z[1] / nz, z[2] / nz)
+    y = cross(z, x)
+    return (x[0], y[0], z[0], x[1], y[1], z[1], x[2], y[2], z[2])
+
+
+def _chol6(A, b):
+    """Unrolled scalar Cholesky solve + det (mirrors linalg6.cholesky_det_solve:
+    clamped pivots keep the straight-line code finite; the det guard rejects
+    indefinite systems)."""
+    N = 6
+    L = [[None] * N for _ in range(N)]
+    for j in range(N):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, N):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    det_sqrt = L[0][0]
+    for j in range(1, N):
+        det_sqrt = det_sqrt * L[j][j]
+    det = det_sqrt * det_sqrt
+    y = [None] * N
+    for i in range(N):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * N
+    for i in reversed(range(N)):
+        s = y[i]
+        for k in range(i + 1, N):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return tuple(x), det
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+# params row layout per frame (f32): [R0 (9), t0 (3), x_pred (6), n_constraints,
+# fx, fy, cx, cy] = 23 used, padded to 32
+_PROW = 32
+# out layout (f32, SMEM): [A (36), b (6), chi2, pushed, valid, delta R (9),
+# delta t (3)] = 57, padded to the 128 lane tile (Mosaic requires the last
+# dim of a vmap-batched block to align to 128)
+_OUT = 128
+
+
+def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d, *,
+                  H, W, F, nc, interp, include_prior, prior_weight,
+                  max_iterations, min_step_size, min_gradient, min_reduction,
+                  min_relative_reduction, orthonormalize):
+    out_ref = out_ref_2d.at[0]
+    frames = []
+    for f in range(F):
+        R0 = tuple(params_ref[f, k] for k in range(9))
+        t0 = tuple(params_ref[f, 9 + k] for k in range(3))
+        xp = tuple(params_ref[f, 12 + k] for k in range(6))
+        n_f = params_ref[f, 18]
+        frames.append((R0, t0, xp, n_f))
+    fx, fy, cx, cy = (params_ref[0, 19 + k] for k in range(4))
+
+    n_total = frames[0][3]
+    for f in range(1, F):
+        n_total = n_total + frames[f][3]
+
+    def compute_ne(Rd, td):
+        """Stacked, normalized NE at delta: A (6x6 nested tuple), b (6), chi2."""
+        A_s = [[jnp.float32(0.0)] * 6 for _ in range(6)]
+        b_s = [jnp.float32(0.0)] * 6
+        chi2_s = jnp.float32(0.0)
+        for f in range(F):
+            R0, t0, xp, n_f = frames[f]
+            R = _mat3_mul(R0, Rd)
+            t = tuple(_mat3_vec(R0, td)[i] + t0[i] for i in range(3))
+            scal = R + t + (fx, fy, cx, cy)
+            G = _gram_chunk(geom_ref[f, 0], jt_ref[f, 0], img_ref, scal, H, W, interp)
+            for c in range(1, nc):
+                G = G + _gram_chunk(geom_ref[f, c], jt_ref[f, c], img_ref, scal, H, W, interp)
+            # extract scalars; symmetrize like the XLA path's 0.5 (G + G^T)
+            inv_n = jnp.where(n_f > 1, 1.0 / jnp.maximum(n_f, 1.0), 1.0)
+            A_f = [[0.5 * (G[i, j] + G[j, i]) * inv_n for j in range(6)] for i in range(6)]
+            b_f = [G[i, 6] * inv_n for i in range(6)]
+            chi2_f = G[6, 6] * inv_n
+            if include_prior:
+                # MotionPrior (SE3Alignment.cpp:37-47) with the corrected
+                # sign (see ic._normalize_prior)
+                x = _se3_log(R, t)
+                nrm = jnp.float32(1.0 / (255.0 * 255.0))
+                for i in range(6):
+                    for j in range(6):
+                        A_f[i][j] = A_f[i][j] * nrm
+                    A_f[i][i] = A_f[i][i] + prior_weight
+                    b_f[i] = b_f[i] * nrm + prior_weight * (x[i] - xp[i])
+            for i in range(6):
+                for j in range(6):
+                    A_s[i][j] = A_s[i][j] + A_f[i][j]
+                b_s[i] = b_s[i] + b_f[i]
+            chi2_s = chi2_s + chi2_f
+        return A_s, b_s, chi2_s
+
+    # initial out: identity A, zero b (solve_gauss_newton's init carry)
+    for k in range(36):
+        out_ref[k] = jnp.float32(1.0 if k % 7 == 0 else 0.0)
+    for k in range(36, 42):
+        out_ref[k] = jnp.float32(0.0)
+
+    def cond(carry):
+        i, pushed, done, chi2_prev, Rd, td = carry
+        return (~done) & (i < max_iterations)
+
+    def body(carry):
+        i, pushed, done, chi2_prev, Rd, td = carry
+        A, b, chi2 = compute_ne(Rd, td)
+        dx, det = _chol6(A, b)
+
+        stop_constraints = n_total < 6.0
+        stop_det = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-6)
+        chi2_increased = (pushed > 0) & (chi2 > chi2_prev)
+        abort = stop_constraints | stop_det | chi2_increased
+
+        step2 = dx[0] * dx[0]
+        for k in range(1, 6):
+            step2 = step2 + dx[k] * dx[k]
+        step = jnp.sqrt(step2)
+        nan_step = ~jnp.isfinite(step)
+
+        # compositional update delta <- delta . exp(-dx)
+        Re, te = _se3_exp(tuple(-d for d in dx))
+        R_new = _mat3_mul(Rd, Re)
+        t_new = tuple(_mat3_vec(Rd, te)[k] + td[k] for k in range(3))
+        if orthonormalize:
+            R_new = _orthonormalize(R_new)
+
+        b_max = b[0]
+        for k in range(1, 6):
+            b_max = jnp.maximum(b_max, b[k])
+        d_chi2 = jnp.abs(chi2 - chi2_prev)
+        converged = (pushed > 0) & (
+            (step < min_step_size)
+            | (jnp.abs(b_max) < min_gradient)
+            | (d_chi2 < min_reduction)
+        )
+        if min_relative_reduction is not None:
+            converged = converged | ((pushed > 0) & (d_chi2 < min_relative_reduction * jnp.abs(chi2)))
+
+        accepted = ~abort
+        keep_old = abort | nan_step
+        Rd_next = tuple(jnp.where(keep_old, Rd[k], R_new[k]) for k in range(9))
+        td_next = tuple(jnp.where(keep_old, td[k], t_new[k]) for k in range(3))
+        chi2_next = jnp.where(accepted, chi2, chi2_prev)
+
+        @pl.when(accepted)
+        def _():
+            for r_ in range(6):
+                for c_ in range(6):
+                    out_ref[6 * r_ + c_] = A[r_][c_]
+                out_ref[36 + r_] = b[r_]
+
+        return (
+            i + 1,
+            pushed + jnp.where(accepted, 1, 0).astype(jnp.int32),
+            abort | nan_step | converged,
+            chi2_next,
+            Rd_next,
+            td_next,
+        )
+
+    eye = tuple(jnp.float32(1.0 if k % 4 == 0 else 0.0) for k in range(9))
+    zero3 = tuple(jnp.float32(0.0) for _ in range(3))
+    init = (jnp.int32(0), jnp.int32(0), jnp.asarray(False), jnp.float32(jnp.inf), eye, zero3)
+    i, pushed, done, chi2_prev, Rd, td = jax.lax.while_loop(cond, body, init)
+
+    out_ref[42] = chi2_prev
+    out_ref[43] = pushed.astype(jnp.float32)
+    out_ref[44] = (pushed > 0).astype(jnp.float32)
+    for k in range(9):
+        out_ref[45 + k] = Rd[k]
+    for k in range(3):
+        out_ref[54 + k] = td[k]
+    for k in range(57, _OUT):
+        out_ref[k] = jnp.float32(0.0)
+
+
+# ---------------------------------------------------------------------------
+# XLA wrapper
+# ---------------------------------------------------------------------------
+
+
+def solve_level_fused(
+    data,  # ICLevelData, frame-batched leaves (F, ...)
+    rel0: SE3,  # (F, 3, 3), (F, 3)
+    image_cur: jax.Array,
+    cam_cur: Camera,
+    cfg,  # AlignmentConfig
+    x_pred: Optional[jax.Array],  # (F, 6)
+):
+    """Drop-in replacement for ic.solve_level running the whole level in one
+    kernel. Returns (rel_out (F,), SolverResult-compatible tuple fields).
+    Composes with vmap (the batch axis becomes the kernel grid: every pair
+    iterates to ITS OWN convergence)."""
+    from ..solvers.gauss_newton import SolverResult
+    from .ic import _LevelState
+
+    F = rel0.t.shape[0]
+    dtype = data.templ.dtype
+    pack = pack_level(data.pcl, data.J, data.templ, data.mask)
+    nc = pack.geom.shape[1]
+    H, W = image_cur.shape
+    img = image_cur
+    if cfg.image_dtype == "bfloat16":
+        img = img.astype(jnp.bfloat16)
+
+    xp = x_pred if x_pred is not None else jnp.zeros((F, 6), jnp.float32)
+    params = jnp.zeros((F, _PROW), jnp.float32)
+    params = params.at[:, 0:9].set(rel0.R.reshape(F, 9).astype(jnp.float32))
+    params = params.at[:, 9:12].set(rel0.t.reshape(F, 3).astype(jnp.float32))
+    params = params.at[:, 12:18].set(xp.astype(jnp.float32))
+    params = params.at[:, 18].set(data.n_constraints.astype(jnp.float32))
+    params = params.at[:, 19:23].set(
+        jnp.broadcast_to(
+            jnp.stack([cam_cur.fx, cam_cur.fy, cam_cur.cx, cam_cur.cy]).astype(jnp.float32),
+            (F, 4),
+        )
+    )
+
+    s = cfg.solver
+    kernel = functools.partial(
+        _solve_kernel,
+        H=H, W=W, F=F, nc=nc,
+        interp="bilinear" if cfg.interpolation == "bilinear" else "nearest",
+        include_prior=bool(cfg.include_prior and x_pred is not None),
+        prior_weight=float(cfg.prior_weight),
+        max_iterations=int(s.max_iterations),
+        min_step_size=float(s.min_step_size),
+        min_gradient=float(s._min_gradient),
+        min_reduction=float(s._min_reduction),
+        min_relative_reduction=(
+            None if s.min_relative_reduction is None else float(s.min_relative_reduction)
+        ),
+        orthonormalize=bool(cfg.orthonormalize),
+    )
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        # out is 2-D (1, _OUT): under vmap the batch dim is squeezed onto the
+        # front and the TPU lowering requires the last two block dims to
+        # equal the array dims — a 1-D (_OUT,) block would violate that
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, _OUT), jnp.float32),
+    )(params, pack.geom, pack.jt, img)
+    out = out[0]
+
+    A = out[0:36].reshape(6, 6).astype(dtype)
+    b = out[36:42].astype(dtype)
+    chi2 = out[42].astype(dtype)
+    iterations = out[43].astype(jnp.int32)
+    valid = out[44] > 0.0
+    Rd = out[45:54].reshape(3, 3).astype(dtype)
+    td = out[54:57].astype(dtype)
+
+    from ..core import se3 as se3_mod
+
+    delta = SE3(Rd, td)
+    rel_out = se3_mod.compose(rel0, SE3(jnp.broadcast_to(Rd, (F, 3, 3)), jnp.broadcast_to(td, (F, 3))))
+    nan_hist = jnp.full((int(s.max_iterations),), jnp.nan, dtype)
+    result = SolverResult(
+        x=_LevelState(delta),
+        A=A, b=b, chi2=chi2, iterations=iterations, valid=valid,
+        chi2_history=nan_hist, step_history=nan_hist,
+    )
+    return rel_out, result

@@ -74,11 +74,20 @@ class AlignmentConfig:
     # per-iteration work scales with it instead of with the full pixel grid.
     # 0 disables compaction (fully dense masks).
     max_points: int = 32768
-    # "gather": XLA HBM gather (default; works everywhere). "mxu": Pallas
-    # kernel sampling via one-hot matmuls on the MXU with the image resident
-    # in VMEM — ~2x faster per iteration at 480x640, bilinear only, requires
-    # compacted points.
+    # "gather": XLA HBM gather (works everywhere). "mxu": Pallas sampling via
+    # one-hot matmuls on the MXU (bilinear only). "fused": the full residual
+    # pass — warp, projection, visibility, sampling AND the JᵀWJ/JᵀWr
+    # accumulation — as ONE Pallas kernel per GN iteration with the image
+    # resident in VMEM (fused_ne.py); quadratic loss only (robust losses need
+    # a global residual scale and fall back to the gather path). "fused_gn":
+    # the ENTIRE per-level Gauss-Newton solve as one kernel (fused_solve.py):
+    # per-pair early exit under vmap + zero per-iteration XLA overhead;
+    # quadratic loss only, no iteration-history telemetry.
     sampler: str = "gather"
+    # Image dtype for the fused sampler's MXU one-hot matmuls: "bfloat16"
+    # doubles MXU throughput; intensities are 0..255 so bf16 rounding stays
+    # below the reference's own uint8 quantization (types.h:33-65).
+    image_dtype: str = "float32"
 
 
 class ICLevelData(NamedTuple):
@@ -274,8 +283,13 @@ def _frame_normal_equations(
     A = Jw.T @ data.J
     b = Jw.T @ r
     chi2 = jnp.sum(w * r * r)
+    return _normalize_prior(A, b, chi2, data.n_constraints, rel, cfg, x_pred, dtype)
 
-    n = data.n_constraints
+
+def _normalize_prior(A, b, chi2, n, rel: SE3, cfg: AlignmentConfig, x_pred, dtype) -> NormalEquations:
+    """NE normalization by the interest-point count
+    (InverseCompositional.cpp:139-143) + the motion prior
+    (SE3Alignment.cpp:37-47). Shared by the XLA and fused-Pallas paths."""
     inv_n = jnp.where(n > 1, 1.0 / jnp.maximum(n, 1.0), 1.0)
     A = A * inv_n
     b = b * inv_n
@@ -298,6 +312,10 @@ def _frame_normal_equations(
     return NormalEquations(A, b, chi2, n)
 
 
+def _use_fused(cfg: AlignmentConfig) -> bool:
+    return cfg.sampler == "fused" and cfg.loss.function == "None"
+
+
 def level_normal_equations(
     data: ICLevelData,  # frame-batched: leaves (F, ...)
     rel: SE3,  # (F, 3, 3), (F, 3)
@@ -305,9 +323,29 @@ def level_normal_equations(
     cam_cur: Camera,
     cfg: AlignmentConfig,
     x_pred: Optional[jax.Array],  # (F, 6)
+    pack=None,  # optional fused_ne.FusedLevelPack (built once per level)
 ) -> NormalEquations:
     """Stacked NE: per-frame NEs summed (InverseCompositionalStacked.cpp:48-62)."""
     xp = x_pred if x_pred is not None else jnp.zeros((data.J.shape[0], 6), image_cur.dtype)
+
+    if _use_fused(cfg):
+        from . import fused_ne
+
+        dtype = data.templ.dtype
+        if pack is None:
+            pack = fused_ne.pack_level(data.pcl, data.J, data.templ, data.mask)
+        img = image_cur
+        if cfg.image_dtype == "bfloat16" and img.dtype != jnp.bfloat16:
+            img = img.astype(jnp.bfloat16)
+        interp = "bilinear" if cfg.interpolation == "bilinear" else "nearest"
+        A, b, chi2, _ = fused_ne.fused_level_ne(pack, img, rel, cam_cur, interp)
+        per_frame = jax.vmap(
+            lambda A_f, b_f, c_f, n_f, g_f, x_f: _normalize_prior(
+                A_f, b_f, c_f, n_f, g_f, cfg,
+                x_f if cfg.include_prior else None, dtype,
+            )
+        )(A.astype(dtype), b.astype(dtype), chi2.astype(dtype), data.n_constraints, rel, xp)
+        return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
 
     if cfg.sampler == "mxu":
         # sample ALL frames' points in one Pallas MXU pass (the current image
@@ -354,9 +392,28 @@ def solve_level(
     """
     dtype = image_cur.dtype
 
+    if cfg.sampler == "fused_gn" and cfg.loss.function == "None":
+        # whole-level GN as ONE kernel: per-pair early exit under vmap, zero
+        # per-iteration XLA overhead (fused_solve.py). No iteration history —
+        # align(with_diagnostics=True) routes around this branch.
+        from .fused_solve import solve_level_fused
+
+        return solve_level_fused(data, rel0, image_cur, cam_cur, cfg, x_pred)
+
+    pack = None
+    img_solve = image_cur
+    if _use_fused(cfg):
+        # kernel operands packed ONCE per level, outside the GN while-loop
+        # (the pack and the bf16 image copy are loop invariants)
+        from . import fused_ne
+
+        pack = fused_ne.pack_level(data.pcl, data.J, data.templ, data.mask)
+        if cfg.image_dtype == "bfloat16":
+            img_solve = image_cur.astype(jnp.bfloat16)
+
     def compute_ne(state: _LevelState) -> NormalEquations:
         rel = se3.compose(rel0, _broadcast(state.delta, rel0))
-        return level_normal_equations(data, rel, image_cur, cam_cur, cfg, x_pred)
+        return level_normal_equations(data, rel, img_solve, cam_cur, cfg, x_pred, pack=pack)
 
     def update_x(state: _LevelState, dx: jax.Array) -> _LevelState:
         # inverse-compositional: se3 <- se3 . exp(-dx)
@@ -401,6 +458,10 @@ def align(
     buffers plus accepted-iteration counts, coarsest level first — the
     LOG_PLT("SolverGN") payload (reference GaussNewton.cpp:100).
     """
+    if with_diagnostics and cfg.sampler == "fused_gn":
+        # the in-kernel solver records no per-iteration history; route the
+        # diagnostics path through the per-iteration fused-NE kernel instead
+        cfg = dataclasses.replace(cfg, sampler="fused")
     n_levels = len(ref_frames.intensity)
     rel = rel_init
     cov = jnp.eye(6, dtype=cur_frame.intensity[0].dtype)

@@ -120,18 +120,43 @@ def conv2d_norm_interior(img: jax.Array, kernel: jax.Array) -> jax.Array:
     return jnp.pad(interior, ((py, py), (px, px)), mode="constant")
 
 
-_GAUSS3 = jnp.array([0.25, 0.5, 0.25])
-_SOBEL_D = jnp.array([-1.0, 0.0, 1.0])
-_SOBEL_S = jnp.array([1.0, 2.0, 1.0])
-_SCHARR_D = jnp.array([-1.0, 0.0, 1.0])
-_SCHARR_S = jnp.array([3.0, 10.0, 3.0])
-_PYR5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# Python tuples (not jnp arrays): the taps are compile-time constants baked
+# into the shifted-slice passes; arrays would become traced values under jit
+_GAUSS3 = (0.25, 0.5, 0.25)
+_SOBEL_D = (-1.0, 0.0, 1.0)
+_SOBEL_S = (1.0, 2.0, 1.0)
+_SCHARR_D = (-1.0, 0.0, 1.0)
+_SCHARR_S = (3.0, 10.0, 3.0)
+_PYR5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _sep_pass(img: jax.Array, taps, axis: int) -> jax.Array:
+    """One axis of a separable correlation as shifted-slice adds.
+
+    `lax.conv` with 1x1 channels cannot use the MXU and measures ~5 ms per
+    3x3 filter at 480x640 on TPU; k shifted adds are pure VPU elementwise
+    work that XLA fuses into one HBM pass (~100x faster). Input must already
+    be padded by len(taps)//2 along `axis`."""
+    k = len(taps)
+    n = img.shape[axis] - (k - 1)
+    out = None
+    for i, t in enumerate(taps):
+        if t == 0.0:
+            continue
+        sl = lax.slice_in_dim(img, i, i + n, axis=axis)
+        term = sl if t == 1.0 else t * sl
+        out = term if out is None else out + term
+    return out
 
 
 def _sep_conv_reflect(img: jax.Array, ky: jax.Array, kx: jax.Array) -> jax.Array:
-    """Separable correlation with reflect-101 border."""
-    kernel = jnp.outer(ky, kx).astype(jnp.float32)
-    return conv2d_reflect(img, kernel)
+    """Separable correlation with reflect-101 border (OpenCV BORDER_DEFAULT),
+    as two shifted-slice passes (see _sep_pass)."""
+    ky = tuple(float(t) for t in ky)
+    kx = tuple(float(t) for t in kx)
+    py, px = len(ky) // 2, len(kx) // 2
+    padded = jnp.pad(img, ((py, py), (px, px)), mode="reflect")
+    return _sep_pass(_sep_pass(padded, ky, 0), kx, 1)
 
 
 def gaussian_blur_3x3(img: jax.Array) -> jax.Array:
@@ -187,11 +212,14 @@ def grad_y(img: jax.Array) -> jax.Array:
 def pyr_down(img: jax.Array) -> jax.Array:
     """cv::pyrDown: 5-tap Gaussian [1,4,6,4,1]/16 (separable, reflect-101)
     then decimate by 2. Output size = ceil(n/2) per dim, matching
-    cv::buildPyramid used by `Frame.cpp:261-267`."""
-    kernel = jnp.outer(_PYR5, _PYR5).astype(jnp.float32)
+    cv::buildPyramid used by `Frame.cpp:261-267`.
+
+    The vertical pass runs on the decimated rows only (output stride 2
+    commutes with the row filter), halving the horizontal-pass work."""
+    taps = tuple(float(t) for t in _PYR5)
     padded = jnp.pad(img, ((2, 2), (2, 2)), mode="reflect")
-    blurred = _conv2d_valid(padded, kernel)
-    return blurred[::2, ::2]
+    rows = _sep_pass(padded, taps, 0)[::2, :]
+    return _sep_pass(rows, taps, 1)[:, ::2]
 
 
 def resize_bilinear(img: jax.Array, s: float) -> jax.Array:
@@ -202,6 +230,12 @@ def resize_bilinear(img: jax.Array, s: float) -> jax.Array:
     H, W = img.shape
     oh, ow = int(H * s), int(W * s)
     inv = 1.0 / s
+    if inv == int(inv):
+        # integer stride: every sample lands on an exact pixel — the
+        # "bilinear" resize degenerates to decimation (a strided slice,
+        # no gathers). This is the pyramid's x0.5 depth path.
+        k = int(inv)
+        return img[: k * oh : k, : k * ow : k]
     ys = (jnp.arange(oh, dtype=jnp.float32) * inv)[:, None]
     xs = (jnp.arange(ow, dtype=jnp.float32) * inv)[None, :]
     ys = jnp.broadcast_to(ys, (oh, ow))
@@ -254,14 +288,34 @@ def median_blur_3x3_masked(
         for dx in range(3):
             windows.append(vp[dy : dy + H, dx : dx + W])
             counts.append(mp[dy : dy + H, dx : dx + W])
-    stack = jnp.stack(windows, axis=-1)
     n = jnp.sum(jnp.stack(counts, axis=-1), axis=-1)
 
-    s = jnp.sort(stack, axis=-1)
+    # 9-element sorting network (Batcher, 25 compare-exchanges) on the 9
+    # shifted planes: pure elementwise min/max on (H, W) lanes — no
+    # jnp.sort/gather (take_along_axis is a scattered HBM gather, ~11 ms at
+    # 480x640 on TPU; this fuses to ~0.5 ms)
+    s = windows
+    _NET9 = [(0, 1), (3, 4), (6, 7), (1, 2), (4, 5), (7, 8), (0, 1), (3, 4),
+             (6, 7), (0, 3), (3, 6), (0, 3), (1, 4), (4, 7), (1, 4), (2, 5),
+             (5, 8), (2, 5), (1, 3), (5, 7), (2, 6), (4, 6), (2, 4), (2, 3),
+             (5, 6)]
+    for a, b in _NET9:
+        lo_v = jnp.minimum(s[a], s[b])
+        hi_v = jnp.maximum(s[a], s[b])
+        s[a], s[b] = lo_v, hi_v
+
+    # per-pixel rank selection by valid count: invalids sit at +inf after the
+    # sort, so the median of the n valid values is at ranks (n-1)//2 and n//2
     lo = jnp.maximum((n - 1) // 2, 0)
     hi = jnp.maximum(n // 2, 0)
-    take = lambda idx: jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
-    med = 0.5 * (take(lo) + take(hi))
+
+    def select(idx):
+        out = jnp.zeros_like(s[0])
+        for k in range(9):
+            out = jnp.where(idx == k, s[k], out)
+        return out
+
+    med = 0.5 * (select(lo) + select(hi))
     med = jnp.where(n > 0, med, jnp.zeros_like(med))
 
     # reference writes only interior pixels; border stays 0

@@ -44,7 +44,7 @@ def block_matching_disparity(
     H, W = left.shape
     dtype = left.dtype
 
-    kernel = jnp.ones((block,), jnp.float32) / block
+    kernel = (1.0 / block,) * block  # compile-time taps (see _sep_conv_reflect)
 
     def box(x):
         return img_ops._sep_conv_reflect(x, kernel, kernel)

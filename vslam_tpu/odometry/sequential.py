@@ -44,6 +44,11 @@ class SequentialConfig:
     """Static configuration (hashable -> jit static arg)."""
 
     alignment: AlignmentConfig = AlignmentConfig()
+    # device-side depth conversion: metres = raw * depth_scale. Feed frames
+    # in their NATIVE dtype (uint8 intensity, uint16 depth for TUM with
+    # scale 1/5000) — host->device bytes are the sequential bottleneck on a
+    # remote-attached chip and uint transport is 2.7x smaller than f32.
+    depth_scale: float = 1.0
     n_levels: int = 3
     kf_period: int = 5  # keyframe_selection.idx.period
     kf_max_translation: float = 0.2  # KeyFrameSelectionCustom translation trigger
@@ -68,7 +73,12 @@ def init_state(
 ) -> SequentialState:
     """First frame initializes the chain and is the first keyframe
     (Odometry.cpp:33-35)."""
-    frame = create_frame(jnp.asarray(intensity, jnp.float32), jnp.asarray(depth, jnp.float32), camera, n_levels=cfg.n_levels)
+    frame = create_frame(
+        jnp.asarray(intensity).astype(jnp.float32),
+        jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale),
+        camera,
+        n_levels=cfg.n_levels,
+    )
     pose = pose0 if pose0 is not None else se3.identity(dtype=jnp.float32)
     return SequentialState(
         kf=frame,
@@ -87,6 +97,8 @@ def _select_tree(pred, a, b):
 def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cfg: SequentialConfig):
     """One fused odometry update. `live` masks padded scan slots: a dead slot
     passes state through and re-emits the last pose."""
+    intensity = intensity.astype(jnp.float32)
+    depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
     cur = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
 
     # constant-motion prediction (MotionPrediction.cpp:49-55)
@@ -166,9 +178,15 @@ class SequentialOdometry:
         self._t_last_ns: Optional[int] = None
 
     def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]):
-        """Returns list of (t_ns, pose world->cam 4x4 f64, cov 6x6 f64)."""
+        """Returns list of (t_ns, pose world->cam 4x4 f64, cov 6x6 f64).
+
+        Pipelined: each chunk is dispatched asynchronously and its results
+        are fetched only when the NEXT chunk has been dispatched, so the
+        host->device transfer of chunk k+1 overlaps the solve of chunk k
+        (the state chain stays on device; JAX dispatch is async)."""
         out: List[Tuple[int, np.ndarray, np.ndarray]] = []
         buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        pending = None
         for item in stream:
             buf.append(item)
             if self.state is None:
@@ -178,18 +196,28 @@ class SequentialOdometry:
                 out.append((int(t_ns), np.eye(4), np.eye(6)))
                 continue
             if len(buf) == self.chunk:
-                out.extend(self._flush(buf))
+                nxt = self._dispatch(buf)
+                if pending is not None:
+                    out.extend(self._collect(*pending))
+                pending = nxt
                 buf = []
         if buf:
-            out.extend(self._flush(buf))
+            nxt = self._dispatch(buf)
+            if pending is not None:
+                out.extend(self._collect(*pending))
+            pending = nxt
+        if pending is not None:
+            out.extend(self._collect(*pending))
         return out
 
-    def _flush(self, buf):
+    def _dispatch(self, buf):
         K = self.chunk
         n = len(buf)
         H, W = buf[0][1].shape
-        intensity = np.zeros((K, H, W), np.float32)
-        depth = np.zeros((K, H, W), np.float32)
+        # stage in the stream's native dtype (uint8/uint16 transport is the
+        # point — see SequentialConfig.depth_scale)
+        intensity = np.zeros((K, H, W), np.asarray(buf[0][1]).dtype)
+        depth = np.zeros((K, H, W), np.asarray(buf[0][2]).dtype)
         dts = np.zeros(K, np.float32)
         live = np.zeros(K, bool)
         t_prev = self._t_last_ns
@@ -212,6 +240,11 @@ class SequentialOdometry:
             self.camera,
             self.cfg,
         )
+        return stamps, n, poses, cov
+
+    def _collect(self, stamps, n, poses, cov):
+        """Blocking fetch of a dispatched chunk's results (f64 conversion +
+        SVD re-orthonormalization on host)."""
         R = np.asarray(poses.R, np.float64)  # one fetch
         t = np.asarray(poses.t, np.float64)
         covs = np.asarray(cov, np.float64)
