@@ -96,3 +96,45 @@ def test_epipolar_error_zero_on_line():
     e_off = float(matcher.epipolar_error_matrix(F, uv_q_off, uv_c)[0, 0])
     assert e_on == pytest.approx(0.0, abs=1e-5)
     assert e_off == pytest.approx(5.0, abs=1e-4)
+
+
+def test_descriptor_rotation_invariance(rng):
+    """Steered BRIEF (ORB orientation): descriptors of the same scene
+    features survive an in-plane rotation that breaks unoriented BRIEF
+    (reference uses cv::ORB whose rBRIEF has the same property)."""
+    H, W = 160, 160
+    # asymmetric blobs -> non-degenerate intensity-centroid angles
+    img = np.full((H, W), 60.0, np.float32)
+    pts = []
+    for _ in range(12):
+        y, x = rng.integers(45, H - 45), rng.integers(45, W - 45)
+        img[y - 2 : y + 5, x - 2 : x + 3] = 230.0
+        img[y : y + 7, x : x + 2] = 140.0
+        pts.append((x, y))
+    pts = np.asarray(pts, np.float64)
+
+    ang = np.deg2rad(35.0)
+    c, s = np.cos(ang), np.sin(ang)
+    ctr = np.array([(W - 1) / 2, (H - 1) / 2])
+    R = np.array([[c, -s], [s, c]])
+    # rotate the image by -ang by sampling source coords rotated by +ang
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    src = (np.stack([xx - ctr[0], yy - ctr[1]], -1) @ R.T) + ctr
+    sx = np.clip(np.round(src[..., 0]).astype(int), 0, W - 1)
+    sy = np.clip(np.round(src[..., 1]).astype(int), 0, H - 1)
+    img_rot = img[sy, sx].astype(np.float32)
+    pts_rot = (pts - ctr) @ np.linalg.inv(R).T + ctr
+
+    d0 = np.asarray(descriptor.extract_descriptors(jnp.asarray(img), jnp.asarray(pts, jnp.float32)))
+    d1 = np.asarray(descriptor.extract_descriptors(jnp.asarray(img_rot), jnp.asarray(pts_rot, jnp.float32)))
+    u0 = np.asarray(descriptor.extract_descriptors(jnp.asarray(img), jnp.asarray(pts, jnp.float32), oriented=False))
+    u1 = np.asarray(descriptor.extract_descriptors(jnp.asarray(img_rot), jnp.asarray(pts_rot, jnp.float32), oriented=False))
+
+    ham_oriented = np.abs(d0 - d1).sum(axis=1)
+    ham_plain = np.abs(u0 - u1).sum(axis=1)
+    # oriented descriptors must be markedly more stable under rotation, and
+    # stable enough in absolute terms to pass a 0.8-ratio test vs random
+    # (random 256-bit Hamming ~ 128)
+    assert np.median(ham_oriented) < 0.6 * np.median(ham_plain), (
+        np.median(ham_oriented), np.median(ham_plain))
+    assert np.median(ham_oriented) < 64
