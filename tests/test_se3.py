@@ -104,3 +104,47 @@ def test_orthonormalize(rng):
     g2 = se3.orthonormalize(se3.SE3(jnp.asarray(R_noisy, jnp.float32), g.t))
     RtR = np.asarray(g2.R).T @ np.asarray(g2.R)
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+
+
+def test_pose_with_covariance_composition():
+    """Reference PoseWithCovariance algebra (PoseWithCovariance.cpp:19-28):
+    composition rotates the covariance block-diagonally; the adjoint variant
+    adds the translation-rotation lever-arm coupling."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vslam_tpu.core import lie_np, pose_cov, se3
+    from vslam_tpu.core.se3 import SE3
+
+    rng = np.random.default_rng(3)
+    T1 = lie_np.exp(rng.normal(0, 0.3, 6))
+    T0 = lie_np.exp(rng.normal(0, 0.3, 6))
+    C0 = rng.normal(size=(6, 6)); C0 = (C0 @ C0.T / 10 + np.eye(6)).astype(np.float32)
+
+    p1 = SE3(jnp.asarray(T1[:3, :3], jnp.float32), jnp.asarray(T1[:3, 3], jnp.float32))
+    p0 = pose_cov.PoseWithCovariance(
+        SE3(jnp.asarray(T0[:3, :3], jnp.float32), jnp.asarray(T0[:3, 3], jnp.float32)),
+        jnp.asarray(C0),
+    )
+
+    out = pose_cov.compose(p1, p0)
+    # pose composes exactly
+    Tc = np.asarray(jnp.block([[out.pose.R, out.pose.t[:, None]], [jnp.zeros((1, 3)), jnp.ones((1, 1))]]))
+    np.testing.assert_allclose(Tc, T1 @ T0, atol=1e-5)
+    # covariance: R6 C R6^T with R6 = diag(R, R)
+    R6 = np.zeros((6, 6), np.float32)
+    R6[:3, :3] = T1[:3, :3]; R6[3:, 3:] = T1[:3, :3]
+    np.testing.assert_allclose(np.asarray(out.cov), R6 @ C0 @ R6.T, atol=1e-4)
+    # still symmetric PSD
+    ev = np.linalg.eigvalsh(np.asarray(out.cov, np.float64))
+    assert ev.min() > 0
+
+    # adjoint transport equals Ad C Ad^T and differs from rotation-only
+    out_adj = pose_cov.compose_adjoint(p1, p0)
+    Ad = np.asarray(se3.adjoint(p1))
+    np.testing.assert_allclose(np.asarray(out_adj.cov), Ad @ C0 @ Ad.T, atol=1e-3)
+    assert not np.allclose(np.asarray(out_adj.cov), np.asarray(out.cov), atol=1e-3)
+
+    # mean/inverse mirror the reference accessors
+    np.testing.assert_allclose(np.asarray(p0.mean()), lie_np.log(T0), atol=1e-5)
+    inv = p0.inverse()
+    np.testing.assert_allclose(np.asarray(inv.cov), C0)
