@@ -249,6 +249,13 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=16, help="frames per device dispatch with --fused")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--log-level", default="WARNING")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler device trace into this directory "
+        "(TensorBoard/xprof format; the reference's TIMED_FUNC perf "
+        "tracking + kcachegrind role)",
+    )
     p.set_defaults(fn=_cmd_odometry)
 
     p = sub.add_parser("evaluate", help="ATE/RPE of trajectory vs ground truth")
@@ -271,9 +278,21 @@ def main(argv=None) -> int:
         action="store_true",
         help="occlusion scene + sensor noise/holes/exposure drift (accuracy proxy)",
     )
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler device trace into this directory "
+        "(TensorBoard/xprof format; the reference's TIMED_FUNC perf "
+        "tracking + kcachegrind role)",
+    )
     p.set_defaults(fn=_cmd_synthetic)
 
     args = ap.parse_args(argv)
+    if getattr(args, "profile_dir", None):
+        from ..utils.profiling import trace
+
+        with trace(args.profile_dir):
+            return args.fn(args)
     return args.fn(args)
 
 
