@@ -120,3 +120,52 @@ def test_sharded_tracking_step_cpu_mesh():
     ekf1, rel, valid, frac = step(ekf0, ref_b, cur_b, dt)
     assert rel.t.shape == (B, 3)
     assert 0.0 <= float(frac) <= 1.0
+
+
+def test_multihost_sequence_sharding():
+    """Contiguous block partition covers all sequences exactly once."""
+    from vslam_tpu.parallel import multihost
+
+    for n_seq, n_proc in [(10, 4), (8, 8), (3, 4), (7, 2)]:
+        slices = [multihost.shard_sequences(n_seq, p, n_proc) for p in range(n_proc)]
+        flat = [i for s in slices for i in s]
+        assert flat == list(range(n_seq)), (n_seq, n_proc, flat)
+        sizes = [len(s) for s in slices]
+        assert max(sizes) - min(sizes) <= 1  # balanced
+
+
+def test_multihost_2d_mesh_tracking_step():
+    """(host, data) mesh fold on the virtual CPU devices: the 2-axis sharded
+    tracking step (two-stage ICI-then-DCN psum) compiles, runs, and matches
+    the unsharded step."""
+    from vslam_tpu.parallel import multihost
+
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("needs >=4 CPU devices")
+    mesh = multihost.dcn_ici_mesh(n_hosts=2, devices=devices[:4])
+    assert mesh.devices.shape == (2, 2)
+    B = 8
+    ref_b, cur_b, _, _, _ = make_pairs(B, seed=7)
+    cfg = AlignmentConfig(
+        min_gradient=5.0,
+        solver=SolverConfig(max_iterations=5, min_step_size=1e-6),
+        include_prior=True,
+    )
+    ekf0 = jax.vmap(lambda _: ekf_se3.init(dtype=jnp.float32))(jnp.arange(B))
+    dt = jnp.full((B,), 1.0 / 30.0, jnp.float32)
+
+    ekf1_ref, rel_ref, valid_ref = batched.tracking_step(ekf0, ref_b, cur_b, dt, cfg)
+
+    ekf0_s = multihost.shard_batch_2d(ekf0, mesh)
+    ref_s = multihost.host_local_to_global(ref_b, mesh)  # 1-process: same layout
+    cur_s = multihost.shard_batch_2d(cur_b, mesh)
+    dt_s = multihost.shard_batch_2d(dt, mesh)
+    step = multihost.sharded_tracking_step_2d(mesh, cfg)
+    ekf1, rel, valid, frac = step(ekf0_s, ref_s, cur_s, dt_s)
+
+    assert rel.t.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(rel.t), np.asarray(rel_ref.t), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+    expected_frac = float(np.mean(np.asarray(valid_ref, np.float32)))
+    assert abs(float(frac) - expected_frac) < 1e-6

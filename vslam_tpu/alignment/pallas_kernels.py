@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the alignment hot path.
 
-`bilinear_sample_mxu`: image sampling at scattered sub-pixel coordinates as
+`bilinear_sample_mxu_single`: image sampling at scattered sub-pixel coords as
 MXU work instead of HBM gathers. Random-access gathers from HBM cost ~18 ns
 per lookup on v5e (latency-bound) and dominate the Gauss-Newton iteration;
 hardware gathers inside Mosaic only support same-shape indices. Instead:
@@ -27,46 +27,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bilinear_sample_mxu", "bilinear_sample_mxu_single"]
+__all__ = ["bilinear_sample_mxu_single"]
 
 _CHUNK = 1024  # points per grid step; (CHUNK, H) mask ~2 MB in VMEM
-
-
-def _sample_kernel(u_ref, v_ref, img_ref, out_ref):
-    # block (1, 1, 8, 128) inputs; image block (1, H, W)
-    _sample_body(u_ref[0, 0], v_ref[0, 0], img_ref, out_ref, block_rank=4)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def bilinear_sample_mxu(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
-    """Batched scattered bilinear sampling.
-
-    img: (B, H, W) float32; u, v: (B, N) pixel coords (N divisible by the
-    chunk size; callers pad — out-of-range coords must be pre-clamped to
-    [0, W-2] / [0, H-2] and masked downstream, exactly like the gather path).
-    Returns (B, N) samples.
-    """
-    B, H, W = img.shape
-    N = u.shape[1]
-    assert N % _CHUNK == 0, f"N={N} must be a multiple of {_CHUNK}"
-    n_chunks = N // _CHUNK
-
-    u4 = u.reshape(B, n_chunks, 8, 128)
-    v4 = v.reshape(B, n_chunks, 8, 128)
-
-    out = pl.pallas_call(
-        _sample_kernel,
-        grid=(B, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8, 128), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-            # image block constant across the chunk axis -> stays in VMEM
-            pl.BlockSpec((1, H, W), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_chunks, 8, 128), jnp.float32),
-    )(u4, v4, img)
-    return out.reshape(B, N)
 
 
 def bilinear_sample_mxu_single(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
@@ -85,7 +48,7 @@ def bilinear_sample_mxu_single(img: jax.Array, u: jax.Array, v: jax.Array) -> ja
     v4 = v.reshape(n_chunks, 8, 128)
 
     def kernel(u_ref, v_ref, img_ref, out_ref):
-        _sample_body(u_ref[0], v_ref[0], img_ref, out_ref, block_rank=3)
+        _sample_body(u_ref[0], v_ref[0], img_ref, out_ref)
 
     out = pl.pallas_call(
         kernel,
@@ -101,7 +64,7 @@ def bilinear_sample_mxu_single(img: jax.Array, u: jax.Array, v: jax.Array) -> ja
     return out.reshape(Mp)[:M]
 
 
-def _sample_body(u_blk, v_blk, img_ref, out_ref, block_rank):
+def _sample_body(u_blk, v_blk, img_ref, out_ref):
     """Shared kernel body: u_blk/v_blk (8, 128), img_ref (H, W) ref."""
     H, W = img_ref.shape[-2], img_ref.shape[-1]
     img = img_ref[...].reshape(H, W)
@@ -123,8 +86,4 @@ def _sample_body(u_blk, v_blk, img_ref, out_ref, block_rank):
     cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, W), 1)
     fxc = fx.reshape(_CHUNK, 1)
     wx = jnp.where(cols == u0i, 1.0 - fxc, 0.0) + jnp.where(cols == u0i + 1, fxc, 0.0)
-    res = jnp.sum(mix * wx, axis=-1).reshape(8, 128)
-    if block_rank == 3:
-        out_ref[0] = res
-    else:
-        out_ref[0, 0] = res
+    out_ref[0] = jnp.sum(mix * wx, axis=-1).reshape(8, 128)
