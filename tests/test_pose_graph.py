@@ -78,3 +78,38 @@ def test_consistent_graph_stays_put(rng):
     poses, c0, c1 = optimize_pose_graph(g, max_iterations=10)
     assert float(c0) < 1e-6
     assert float(c1) <= float(c0) + 1e-9
+
+
+def test_padded_graph_matches_unpadded():
+    """pad_pose_graph bucketing (the live backend's bounded-recompile
+    mechanism): frozen padding nodes and masked padding edges must not
+    change the solution."""
+    from vslam_tpu.ba.pose_graph import pad_pose_graph
+
+    rng = np.random.default_rng(11)
+    g, _, _ = build_loop(rng, K=8)
+    opt_a, c0_a, c1_a = optimize_pose_graph(g)
+    gp, node_mask = pad_pose_graph(g, 16, 32)
+    opt_b, c0_b, c1_b = optimize_pose_graph(gp, node_mask=node_mask)
+    np.testing.assert_allclose(float(c0_a), float(c0_b), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(opt_a.t), np.asarray(opt_b.t)[:8], atol=1e-4)
+    np.testing.assert_allclose(float(c1_a), float(c1_b), rtol=0.05, atol=1e-6)
+
+
+def test_large_graph_scales():
+    """Hundreds of nodes: the O(E) block-Jacobian formulation must optimize
+    a 200-node drift loop (the old stacked-jacfwd formulation was O(K*E) and
+    ran out of practicality here)."""
+    import time
+
+    rng = np.random.default_rng(5)
+    K = 200
+    g, _, _ = build_loop(rng, K=K, odo_noise=0.01)
+    t0 = time.perf_counter()
+    opt, c0, c1 = optimize_pose_graph(g, max_iterations=25)
+    elapsed = time.perf_counter() - t0
+    assert float(c1) < 0.1 * float(c0), (float(c0), float(c1))
+    # drift at the loop end collapses toward the closure constraint
+    d_end = np.linalg.norm(np.asarray(opt.t)[K - 1] - np.asarray(g.poses.t)[K - 1])
+    assert np.isfinite(d_end)
+    assert elapsed < 300, f"200-node graph took {elapsed:.0f}s"

@@ -6,16 +6,26 @@ BA, so this is a capability extension built on the framework's Lie core.
 
 Formulation: node poses T_i (world->cam), edges with measured relatives
 Z_ij ~ T_j . T_i^-1 and 6x6 information. Residual per edge
-r = log(Z_ij^-1 . T_j . T_i^-1); states are tangent offsets around the
-initialization (T_i = exp(d_i) . T_i0), so Jacobians come from jax.jacfwd
-through the framework's exp/log — exact, no hand-derived adjoints. Graph
-sizes here are small (keyframe windows / loop closures), so a dense LM on
-the (K*6)-dim state is one solve per iteration. Node 0 is the gauge anchor.
+r_e = log(Z_ij^-1 . T_j . T_i^-1). On-manifold LM: each iteration
+relinearizes around the current poses, solves for per-node tangent steps
+delta and retracts T <- exp(delta) . T. Node 0 is the gauge anchor.
+
+Scaling design (TPU-first):
+- Per-edge 6x12 Jacobian blocks via a vmapped 12-input jacfwd (exact, O(E)
+  work) — NOT jacfwd over the stacked (K*6)-dim state, which is O(K*E) and
+  dominated the old dense formulation.
+- The Gauss-Newton Hessian is assembled by scatter-add of the 4 per-edge
+  6x6 blocks into the (K,6,K,6) system — block-sparse structure, dense
+  storage (K=1000 nodes is 144 MB f32; the 6K-dim Cholesky solve is a few
+  GFLOP on the MXU, negligible).
+- Static shapes throughout: `pad_pose_graph` buckets (K, E) so the live
+  backend re-optimizes a growing graph with a bounded number of recompiles;
+  padding edges are masked, padding nodes frozen like the gauge.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +33,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.se3 import SE3
 
-__all__ = ["PoseGraph", "optimize_pose_graph"]
+__all__ = ["PoseGraph", "optimize_pose_graph", "pad_pose_graph"]
 
 
 class PoseGraph(NamedTuple):
@@ -35,75 +45,129 @@ class PoseGraph(NamedTuple):
     edge_mask: jax.Array  # (E,) bool
 
 
-def _residuals(g: PoseGraph, d: jax.Array) -> jax.Array:
-    """(E, 6) stacked edge residuals at tangent offsets d (K, 6)."""
-    T = se3.compose(se3.exp(d), g.poses)  # (K,)
-    Ti = jax.tree_util.tree_map(lambda x: x[g.edge_i], T)
-    Tj = jax.tree_util.tree_map(lambda x: x[g.edge_j], T)
-    rel = se3.compose(Tj, se3.inverse(Ti))
-    err = se3.compose(se3.inverse(g.edge_rel), rel)
-    r = se3.log(err)
-    return jnp.where(g.edge_mask[:, None], r, 0.0)
+def pad_pose_graph(g: PoseGraph, n_nodes: int, n_edges: int) -> Tuple[PoseGraph, jax.Array]:
+    """Pad to static bucket sizes. Returns (padded graph, node_mask (n_nodes,)).
+    Padding nodes are identity poses (frozen by the mask); padding edges are
+    self-loops on node 0 with mask False."""
+    K = g.poses.t.shape[0]
+    E = g.edge_i.shape[0]
+    assert n_nodes >= K and n_edges >= E, (K, E, n_nodes, n_edges)
+    dtype = g.poses.t.dtype
+    pk, pe = n_nodes - K, n_edges - E
+
+    def pad_se3(x: SE3, n: int) -> SE3:
+        eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
+        return SE3(
+            jnp.concatenate([x.R, eyeR]), jnp.concatenate([x.t, jnp.zeros((n, 3), dtype)])
+        )
+
+    padded = PoseGraph(
+        poses=pad_se3(g.poses, pk),
+        edge_i=jnp.concatenate([g.edge_i, jnp.zeros(pe, jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.zeros(pe, jnp.int32)]),
+        edge_rel=pad_se3(g.edge_rel, pe),
+        edge_info=jnp.concatenate(
+            [g.edge_info, jnp.broadcast_to(jnp.eye(6, dtype=dtype), (pe, 6, 6))]
+        ),
+        edge_mask=jnp.concatenate([g.edge_mask, jnp.zeros(pe, bool)]),
+    )
+    node_mask = jnp.arange(n_nodes) < K
+    return padded, node_mask
+
+
+def _edge_residual(di, dj, Ti: SE3, Tj: SE3, Z: SE3) -> jax.Array:
+    """r_e at tangent steps (di, dj) around (Ti, Tj)."""
+    Ti_n = se3.compose(se3.exp(di), Ti)
+    Tj_n = se3.compose(se3.exp(dj), Tj)
+    return se3.log(se3.compose(se3.inverse(Z), se3.compose(Tj_n, se3.inverse(Ti_n))))
+
+
+# d(r)/d(di), d(r)/d(dj) at zero steps — exact via forward-mode, vmapped over
+# edges: O(E) small Jacobians instead of one O(K*E) stacked one
+_edge_jac = jax.vmap(
+    jax.jacfwd(_edge_residual, argnums=(0, 1)), in_axes=(0, 0, 0, 0, 0)
+)
+_edge_res = jax.vmap(_edge_residual, in_axes=(0, 0, 0, 0, 0))
 
 
 def optimize_pose_graph(
     g: PoseGraph,
     max_iterations: int = 30,
     lambda0: float = 1e-4,
+    node_mask: Optional[jax.Array] = None,
 ) -> Tuple[SE3, jax.Array, jax.Array]:
-    """LM over the stacked tangent state. Returns (poses, chi2_before,
-    chi2_after)."""
+    """On-manifold LM. Returns (poses, chi2_before, chi2_after).
+    ``node_mask`` marks live nodes (padding nodes are frozen); node 0 is
+    always the gauge anchor."""
     K = g.poses.t.shape[0]
     E = g.edge_i.shape[0]
     dtype = g.poses.t.dtype
 
+    free = (jnp.arange(K) > 0) if node_mask is None else ((jnp.arange(K) > 0) & node_mask)
+    free6 = jnp.repeat(free, 6)
+
     # edge weights via Cholesky of the information: w-residual = L^T r
-    Lt = jnp.linalg.cholesky(
-        g.edge_info + 1e-9 * jnp.eye(6, dtype=dtype)
-    ).transpose(0, 2, 1)
+    Lt = jnp.linalg.cholesky(g.edge_info + 1e-9 * jnp.eye(6, dtype=dtype)).transpose(0, 2, 1)
+    wmask = g.edge_mask[:, None].astype(dtype)
 
-    def wres(d):
-        r = _residuals(g, d.reshape(K, 6))
-        return jnp.einsum("eij,ej->ei", Lt, r).reshape(-1)
+    def gather(T: SE3, idx) -> SE3:
+        return jax.tree_util.tree_map(lambda x: x[idx], T)
 
-    def chi2(d):
-        r = wres(d)
-        return jnp.sum(r * r)
+    def chi2_of(T: SE3) -> jax.Array:
+        z6 = jnp.zeros((E, 6), dtype)
+        r = _edge_res(z6, z6, gather(T, g.edge_i), gather(T, g.edge_j), g.edge_rel)
+        rw = jnp.einsum("eab,eb->ea", Lt, r) * wmask
+        return jnp.sum(rw * rw)
 
-    jac = jax.jacfwd(wres)
+    def normal_equations(T: SE3):
+        """Scatter-assembled H (K6, K6), b (K6), chi2 at T."""
+        Ti, Tj = gather(T, g.edge_i), gather(T, g.edge_j)
+        z6 = jnp.zeros((E, 6), dtype)
+        r = _edge_res(z6, z6, Ti, Tj, g.edge_rel)
+        Ji, Jj = _edge_jac(z6, z6, Ti, Tj, g.edge_rel)  # (E, 6, 6) each
+        rw = jnp.einsum("eab,eb->ea", Lt, r) * wmask
+        Jiw = jnp.einsum("eab,ebc->eac", Lt, Ji) * wmask[:, :, None]
+        Jjw = jnp.einsum("eab,ebc->eac", Lt, Jj) * wmask[:, :, None]
+
+        H = jnp.zeros((K, 6, K, 6), dtype)
+        bt = lambda A, B: jnp.einsum("eba,ebc->eac", A, B)  # A^T B per edge
+        H = H.at[g.edge_i, :, g.edge_i, :].add(bt(Jiw, Jiw))
+        H = H.at[g.edge_i, :, g.edge_j, :].add(bt(Jiw, Jjw))
+        H = H.at[g.edge_j, :, g.edge_i, :].add(bt(Jjw, Jiw))
+        H = H.at[g.edge_j, :, g.edge_j, :].add(bt(Jjw, Jjw))
+        b = jnp.zeros((K, 6), dtype)
+        b = b.at[g.edge_i].add(jnp.einsum("eba,eb->ea", Jiw, rw))
+        b = b.at[g.edge_j].add(jnp.einsum("eba,eb->ea", Jjw, rw))
+        return H.reshape(K * 6, K * 6), b.reshape(K * 6), jnp.sum(rw * rw)
 
     def body(carry):
-        d, c_prev, lam, it, done = carry
-        r = wres(d)
-        J = jac(d)  # (E*6, K*6)
-        A = J.T @ J
-        b = J.T @ r
-        # gauge: freeze node 0
-        free = jnp.repeat(jnp.arange(K) > 0, 6)
-        A = jnp.where(free[:, None] & free[None, :], A, 0.0)
-        A = A + jnp.diag(jnp.where(free, lam, 1.0))
-        b = jnp.where(free, b, 0.0)
-        dx = jnp.linalg.solve(A, b)
-        d_new = d - dx
-        c_new = chi2(d_new)
+        T, c_prev, lam, it, done = carry
+        H, b, _ = normal_equations(T)
+        # gauge + frozen nodes: identity rows/cols
+        H = jnp.where(free6[:, None] & free6[None, :], H, 0.0)
+        H = H + jnp.diag(jnp.where(free6, lam, 1.0))
+        b = jnp.where(free6, b, 0.0)
+        dx = jnp.linalg.solve(H, b)
+        delta = (-dx).reshape(K, 6)
+        T_new = se3.compose(se3.exp(delta), T)
+        c_new = chi2_of(T_new)
         accept = (c_new < c_prev) & jnp.isfinite(c_new)
-        d = jnp.where(accept, d_new, d)
+        T = jax.tree_util.tree_map(lambda a, bb: jnp.where(accept, bb, a), T, T_new)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 5.0, 1e8))
         done = (accept & (jnp.linalg.norm(dx) < 1e-8)) | (lam >= 1e8)
-        return d, jnp.where(accept, c_new, c_prev), lam, it + 1, done
+        return T, jnp.where(accept, c_new, c_prev), lam, it + 1, done
 
     def cond(carry):
         return (~carry[4]) & (carry[3] < max_iterations)
 
-    d0 = jnp.zeros(K * 6, dtype)
-    c0 = chi2(d0)
+    c0 = chi2_of(g.poses)
     out = jax.lax.while_loop(
-        cond, body, (d0, c0, jnp.asarray(lambda0, dtype), jnp.asarray(0), jnp.asarray(False))
+        cond,
+        body,
+        (g.poses, c0, jnp.asarray(lambda0, dtype), jnp.asarray(0), jnp.asarray(False)),
     )
-    d_fin, c_fin = out[0], out[1]
-    poses = se3.compose(se3.exp(d_fin.reshape(K, 6)), g.poses)
-    poses = se3.orthonormalize(poses)
-    return poses, c0, c_fin
+    T_fin, c_fin = out[0], out[1]
+    return se3.orthonormalize(T_fin), c0, c_fin
 
 
 optimize_pose_graph_jit = jax.jit(optimize_pose_graph, static_argnames=("max_iterations",))

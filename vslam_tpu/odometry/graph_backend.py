@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ba.pose_graph import PoseGraph, optimize_pose_graph_jit
+from ..ba.pose_graph import PoseGraph, optimize_pose_graph_jit, pad_pose_graph
 from ..core.se3 import SE3
 from ..core import lie_np
 from ..features.loop_closure import KeyframeDatabase, LoopClosureConfig
@@ -80,7 +80,11 @@ class PoseGraphBackend:
             edge_info=jnp.asarray(np.stack([e[3] for e in self.edges]), jnp.float32),
             edge_mask=jnp.ones(E, bool),
         )
-        opt, c0, c1 = optimize_pose_graph_jit(g)
+        # bucket (K, E) to bounded static shapes: a growing graph re-uses a
+        # handful of compiled programs instead of recompiling per closure
+        bucket = lambda n: max(8, 1 << (int(n - 1)).bit_length())
+        g, node_mask = pad_pose_graph(g, bucket(K), bucket(E))
+        opt, c0, c1 = optimize_pose_graph_jit(g, node_mask=node_mask)
         R = np.asarray(opt.R, np.float64)
         t = np.asarray(opt.t, np.float64)
         out: Dict[int, np.ndarray] = {}
