@@ -69,3 +69,44 @@ def test_fused_scan_padding_invariant():
         assert t1 == t2
         err = np.linalg.norm(lie_np.log(lie_np.relative(p1, p2)))
         assert err < 1e-4, err
+
+
+def test_fused_scan_with_mapping_backend():
+    """Full SLAM on the fused path: the device scan flags keyframes, the
+    chunk backend runs track -> BA between chunks (NodeMapping.cpp:162-180
+    role), landmarks accumulate, and tracking stays within the odometry
+    accuracy budget."""
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    N = 12
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    CAM = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N, trans_amp=0.06, rot_amp=0.02)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    frames = [synthetic.render(K, p, (H, W)) for p in poses]
+    dt_ns = int(1e9 / 30)
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=10.0,
+            solver=SolverConfig(max_iterations=50, min_step_size=1e-7),
+            include_prior=True,
+        ),
+        n_levels=3,
+        kf_period=3,
+    )
+    backend = ChunkMappingBackend(enable_ba=True)
+    odo = SequentialOdometry(CAM, cfg, chunk=4, mapping=backend)
+    results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+    assert len(results) == N
+
+    errs = [
+        np.linalg.norm(lie_np.log(lie_np.relative(np.asarray(T), poses[i])))
+        for i, (_, T, _) in enumerate(results)
+    ]
+    assert np.mean(errs) < 0.01, np.mean(errs)
+    # the backend actually ran: keyframes inserted + landmarks triangulated
+    assert len(backend.map.keyframes()) >= 2
+    assert backend.n_landmarks > 0, "no landmarks created by the chunk backend"

@@ -40,9 +40,6 @@ def _cmd_odometry(args) -> int:
     cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
-    if args.fused and cfg.enable_mapping:
-        print("--fused is odometry-only (the mapping backend needs the host map)", file=sys.stderr)
-        return 2
     if args.format == "kitti":
         from ..io.kitti import KittiDataset
 
@@ -67,7 +64,16 @@ def _cmd_odometry(args) -> int:
             kf_max_translation=cfg.keyframe_selection_max_translation,
             include_key_frame=cfg.include_key_frame,
         )
-        odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk)
+        mapping = None
+        if cfg.enable_mapping or cfg.enable_loop_closure:
+            from ..odometry.sequential_mapping import ChunkMappingBackend
+
+            mapping = ChunkMappingBackend(
+                enable_ba=cfg.enable_mapping,
+                enable_loop_closure=cfg.enable_loop_closure,
+                ba_max_iterations=cfg.ba_max_iterations,
+            )
+        odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk, mapping=mapping)
         t0 = time.perf_counter()
         results = odo.run(iter(ds))
         elapsed = time.perf_counter() - t0
@@ -185,15 +191,23 @@ def _cmd_synthetic(args) -> int:
     if args.fused:
         from ..odometry.sequential import SequentialConfig, SequentialOdometry
 
+        mapping = None
+        if args.mapping:
+            from ..odometry.sequential_mapping import ChunkMappingBackend
+
+            mapping = ChunkMappingBackend(enable_ba=True)
         odo = SequentialOdometry(
             camera,
             SequentialConfig(alignment=cfg.alignment_config(), n_levels=cfg.pyramid_levels),
             chunk=8,
+            mapping=mapping,
         )
         t0 = time.perf_counter()
         results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
         elapsed = time.perf_counter() - t0
         est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+        if mapping is not None:
+            n_landmarks = mapping.n_landmarks
     else:
         pipeline = OdometryPipeline(camera, cfg)
         t0 = time.perf_counter()

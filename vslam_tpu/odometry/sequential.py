@@ -142,7 +142,7 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
     )
     new_state = _select_tree(live, new_state, state)
     pose_out = _select_tree(live, pose_new, state.pose_last)
-    return new_state, (pose_out, ok & live, cov)
+    return new_state, (pose_out, ok & live, cov, is_kf & live)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -156,26 +156,44 @@ def scan_odometry(
     cfg: SequentialConfig,
 ):
     """Run a chunk of K frames in one dispatch. Returns
-    (state, poses SE3 (K,), valid (K,), cov (K, 6, 6))."""
+    (state, poses SE3 (K,), valid (K,), cov (K, 6, 6), is_kf (K,))."""
 
     def body(st, inp):
         i, d, dt_i, lv = inp
         return _step(st, i, d, dt_i, lv, camera, cfg)
 
-    state, (poses, valid, cov) = jax.lax.scan(body, state, (intensity, depth, dt, live))
-    return state, poses, valid, cov
+    state, (poses, valid, cov, is_kf) = jax.lax.scan(body, state, (intensity, depth, dt, live))
+    return state, poses, valid, cov, is_kf
 
 
 class SequentialOdometry:
     """Host driver for the fused path: feed (t_ns, intensity, depth) frames,
     collect a TUM trajectory. One device dispatch + one fetch per chunk."""
 
-    def __init__(self, camera: Camera, cfg: SequentialConfig = SequentialConfig(), chunk: int = 16):
+    def __init__(
+        self,
+        camera: Camera,
+        cfg: SequentialConfig = SequentialConfig(),
+        chunk: int = 16,
+        mapping=None,  # optional sequential_mapping.ChunkMappingBackend
+    ):
         self.camera = camera
         self.cfg = cfg
         self.chunk = int(chunk)
+        self.mapping = mapping
         self.state: Optional[SequentialState] = None
         self._t_last_ns: Optional[int] = None
+
+    def _apply_correction(self, delta: np.ndarray) -> None:
+        """Left-compose a world-frame correction (from BA / loop closure)
+        onto the device pose chain before the next chunk runs."""
+        d = SE3(
+            jnp.asarray(delta[:3, :3], jnp.float32), jnp.asarray(delta[:3, 3], jnp.float32)
+        )
+        self.state = self.state._replace(
+            pose_kf=se3.orthonormalize(se3.compose(d, self.state.pose_kf)),
+            pose_last=se3.orthonormalize(se3.compose(d, self.state.pose_last)),
+        )
 
     def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]):
         """Returns list of (t_ns, pose world->cam 4x4 f64, cov 6x6 f64).
@@ -194,21 +212,53 @@ class SequentialOdometry:
                 self.state = init_state(i0, d0, self.camera, self.cfg)
                 self._t_last_ns = int(t_ns)
                 out.append((int(t_ns), np.eye(4), np.eye(6)))
+                if self.mapping is not None:
+                    self.mapping.process_chunk(
+                        [(int(t_ns), i0, d0)], [np.eye(4)], [np.eye(6)], [True],
+                        self.camera, self.cfg,
+                    )
                 continue
             if len(buf) == self.chunk:
+                if self.mapping is not None:
+                    out.extend(self._run_chunk_mapped(buf))
+                else:
+                    nxt = self._dispatch(buf)
+                    if pending is not None:
+                        out.extend(self._collect(*pending))
+                    pending = nxt
+                buf = []
+        if buf:
+            if self.mapping is not None:
+                out.extend(self._run_chunk_mapped(buf))
+            else:
                 nxt = self._dispatch(buf)
                 if pending is not None:
                     out.extend(self._collect(*pending))
                 pending = nxt
-                buf = []
-        if buf:
-            nxt = self._dispatch(buf)
-            if pending is not None:
-                out.extend(self._collect(*pending))
-            pending = nxt
         if pending is not None:
             out.extend(self._collect(*pending))
         return out
+
+    def _run_chunk_mapped(self, buf):
+        """Mapping mode: synchronous chunk (the backend's BA/loop-closure
+        correction must reach the device state before the next chunk, so the
+        one-chunk-deep transfer pipelining is traded away)."""
+        results = self._collect(*self._dispatch(buf))
+        kf_flags = list(self._last_kf_flags)
+        delta = self.mapping.process_chunk(
+            buf,
+            [r[1] for r in results],
+            [r[2] for r in results],
+            kf_flags,
+            self.camera,
+            self.cfg,
+        )
+        if delta is not None:
+            # the trajectory keeps this chunk's odometry estimates (the
+            # reference's NodeMapping also writes per-frame odometry poses);
+            # the correction shapes FUTURE tracking via the device state
+            self._apply_correction(delta)
+        return results
 
     def _dispatch(self, buf):
         K = self.chunk
@@ -231,7 +281,7 @@ class SequentialOdometry:
             stamps.append(int(t_ns))
         self._t_last_ns = t_prev
 
-        self.state, poses, valid, cov = scan_odometry(
+        self.state, poses, valid, cov, is_kf = scan_odometry(
             self.state,
             jnp.asarray(intensity),
             jnp.asarray(depth),
@@ -240,15 +290,17 @@ class SequentialOdometry:
             self.camera,
             self.cfg,
         )
-        return stamps, n, poses, cov
+        return stamps, n, poses, cov, is_kf
 
-    def _collect(self, stamps, n, poses, cov):
+    def _collect(self, stamps, n, poses, cov, is_kf):
         """Blocking fetch of a dispatched chunk's results (f64 conversion +
         SVD re-orthonormalization on host)."""
         R = np.asarray(poses.R, np.float64)  # one fetch
         t = np.asarray(poses.t, np.float64)
         covs = np.asarray(cov, np.float64)
+        kf = np.asarray(is_kf)
         out = []
+        self._last_kf_flags = kf[:n]
         for j in range(n):
             T = np.eye(4)
             u, _, vt = np.linalg.svd(R[j])

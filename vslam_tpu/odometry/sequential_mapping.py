@@ -1,0 +1,121 @@
+"""Mapping backend for the fused sequential path (full SLAM at scan speed).
+
+The fused scan (`sequential.py`) covers the odometry front end on device;
+this module runs the reference's keyframe backend between chunks — the same
+track -> insert -> windowed BA -> (optional) loop-closure graph sequence as
+`NodeMapping::processFrame` (`NodeMapping.cpp:162-180`) and the host
+pipeline (`pipeline.py`), but batched per chunk:
+
+- The device scan flags keyframes (`is_kf` output); only those frames get
+  host-side Frame pyramids + features (1 in kf_period frames).
+- BA / loop-closure corrections are folded back into the DEVICE pose chain
+  as one world-frame delta before the next chunk dispatches
+  (`SequentialOdometry._apply_correction`), so the backend steers future
+  tracking exactly like the reference's write-back (`Map::updatePoses`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie_np
+from ..core.camera import Camera
+from ..core.frame import create_frame
+from ..utils.log import get_logger
+from .map import HostFrame, Map
+
+__all__ = ["ChunkMappingBackend"]
+
+
+class ChunkMappingBackend:
+    def __init__(
+        self,
+        enable_ba: bool = True,
+        enable_loop_closure: bool = False,
+        ba_max_iterations: int = 20,
+    ):
+        from ..features.tracking import FeatureTracking
+
+        self.map = Map()
+        self._tracking = FeatureTracking()
+        self._ba = None
+        self._graph = None
+        if enable_ba:
+            from ..ba.bundle_adjustment import BundleAdjustment
+
+            self._ba = BundleAdjustment(max_iterations=ba_max_iterations)
+        if enable_loop_closure:
+            from .graph_backend import PoseGraphBackend
+
+            self._graph = PoseGraphBackend()
+        self._log = get_logger("mapping")
+
+    @property
+    def n_landmarks(self) -> int:
+        return len(self.map.points())
+
+    def _ba_sane(self, poses, max_translation: float = 0.3, max_rotation: float = 0.3) -> bool:
+        """BA write-back gate (mirrors pipeline._ba_sane / round-1 semantics):
+        reject solutions that teleport keyframes."""
+        for f in self.map.keyframes():
+            if f.id in poses:
+                d = lie_np.log(lie_np.relative(f.pose, poses[f.id]))
+                if np.linalg.norm(d[:3]) > max_translation or np.linalg.norm(d[3:]) > max_rotation:
+                    return False
+        return True
+
+    def process_chunk(
+        self,
+        buf: List,  # [(t_ns, intensity, depth)] raw stream items of the chunk
+        poses: List[np.ndarray],  # world->cam 4x4 f64 per frame
+        covs: List[np.ndarray],
+        kf_flags: List[bool],
+        camera: Camera,
+        cfg,  # SequentialConfig (n_levels, depth_scale)
+    ) -> Optional[np.ndarray]:
+        """Run the keyframe backend over one chunk. Returns a 4x4 world-frame
+        correction to fold into the device state, or None."""
+        delta: Optional[np.ndarray] = None
+        for j, is_kf in enumerate(kf_flags):
+            if not bool(is_kf):
+                continue
+            t_ns, intensity, depth = buf[j]
+            est_pose = np.asarray(poses[j], np.float64)
+            dev = create_frame(
+                jnp.asarray(intensity).astype(jnp.float32),
+                jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale),
+                camera,
+                n_levels=cfg.n_levels,
+            )
+            frame = HostFrame(frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j]))
+            self.map.insert(frame, True)
+            try:
+                new_points = self._tracking.track(frame, self.map)
+                self.map.insert_points(new_points)
+                if self._ba is not None and len(self.map.keyframes()) >= 2:
+                    ba_poses, points, err0, err1 = self._ba.optimize(self.map)
+                    if err1 < err0 and self._ba_sane(ba_poses):
+                        self.map.update_poses(ba_poses)
+                        self.map.update_points(points)
+                        corrected = self.map.keyframes()[0].pose
+                        delta = corrected @ lie_np.inv(est_pose)
+                        if self._graph is not None:
+                            for fid, T in ba_poses.items():
+                                self._graph.update_pose(fid, T)
+                if self._graph is not None:
+                    self._graph.add_keyframe(frame)
+                    corrections = self._graph.try_close(frame)
+                    if corrections and frame.id in corrections:
+                        in_window = {f.id for f in self.map.keyframes()} | {
+                            f.id for f in self.map.frames()
+                        }
+                        for fid, T in corrections.items():
+                            if fid in in_window:
+                                self.map.update_pose(fid, T)
+                        delta = corrections[frame.id] @ lie_np.inv(est_pose)
+            except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
+                self._log.warning("chunk mapping backend failed: %s", exc)
+        return delta
