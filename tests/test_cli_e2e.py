@@ -86,3 +86,35 @@ def test_cli_odometry_and_evaluate(mini_dataset, tmp_path, capsys):
     assert os.path.exists(os.path.join(out_dir, "rpe_summary.txt"))
     assert os.path.exists(os.path.join(out_dir, "traj.png"))
     assert os.path.exists(os.path.join(out_dir, "rpe.png"))
+
+
+def test_cli_fused_mapping(mini_dataset, tmp_path, capsys):
+    """--fused --mapping: device-scan odometry + chunk mapping backend via
+    the real file pipeline (PNG decode -> uint8/uint16 transport -> scan ->
+    track/BA between chunks)."""
+    out = str(tmp_path / "traj_fused.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_dataset),
+            "--out", out,
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+            "--fused", "--mapping",
+            "--chunk", "4",
+            "--no-eval",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+
+    rc = cli_main(
+        [
+            "evaluate",
+            "--gt", str(mini_dataset / "groundtruth.txt"),
+            "--algo", out,
+            "--fixed-delta", "0.2",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ate_rmse_m"] < 0.02, res
