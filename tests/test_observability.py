@@ -170,3 +170,47 @@ def test_timer_registry():
     assert "unit.test" in timer.report()
     timer.reset()
     assert timer.stats("unit.test") == {}
+
+
+def test_fused_gn_kernel_records_history():
+    """The in-kernel GN solver (fused_solve.py) records per-iteration
+    chi2/step into its SMEM history rows — same Solver::Results telemetry as
+    the XLA path (Solver.h:40-56), available through align(with_diagnostics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.ic import AlignmentConfig, align
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.core.frame import create_frame
+    from vslam_tpu.core.se3 import SE3
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W, FX = 96, 128, 110.0
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    i0, d0 = synthetic.render(K, np.eye(4), (H, W))
+    i1, d1 = synthetic.render(
+        K, lie_np.exp(np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002])), (H, W)
+    )
+    f0 = create_frame(jnp.asarray(i0), jnp.asarray(d0), cam, n_levels=2)
+    f1 = create_frame(jnp.asarray(i1), jnp.asarray(d1), cam, n_levels=2)
+    cfg = AlignmentConfig(
+        min_gradient=10.0,
+        solver=SolverConfig(max_iterations=30, min_step_size=1e-7),
+        include_prior=False,
+        sampler="fused_gn",
+    )
+    refs = jax.tree_util.tree_map(lambda x: x[None], f0)
+    rel0 = SE3(jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3), jnp.float32))
+    _, _, ok, diag = align(refs, f1, rel0, None, cfg, with_diagnostics=True)
+    assert bool(ok)
+    chi2 = np.asarray(diag["chi2"])  # (levels, max_iterations)
+    step = np.asarray(diag["step_size"])
+    assert chi2.shape == (2, 30) and step.shape == (2, 30)
+    n_rec = np.sum(np.isfinite(chi2), axis=-1)
+    assert (n_rec >= 1).all(), n_rec
+    # recorded prefix is finite-step too
+    for lvl in range(2):
+        assert np.all(np.isfinite(step[lvl][: n_rec[lvl]]))

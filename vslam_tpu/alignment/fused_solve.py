@@ -26,8 +26,8 @@ Guard semantics mirrored 1:1 from `solvers/gauss_newton.solve_gauss_newton`
 (itself mirroring GaussNewton.cpp:53-98): constraint-count stop, |det|>=1e-6
 stop, chi2-regression rollback to the pre-iteration x, step/gradient/
 reduction convergence from the second iteration, NaN-step restore-and-stop.
-Per-iteration history buffers are not recorded in-kernel (use the XLA path
-for LOG_PLT solver plots).
+Per-iteration chi2/step telemetry is recorded in-kernel into two SMEM
+history rows (Solver::Results parity, Solver.h:40-56).
 """
 
 from __future__ import annotations
@@ -171,9 +171,13 @@ _PROW = 32
 # delta t (3)] = 57, padded to the 128 lane tile (Mosaic requires the last
 # dim of a vmap-batched block to align to 128)
 _OUT = 128
+# per-iteration chi2/step history rows (lane-tile length; iterations beyond
+# _HIST simply stop being recorded)
+_HIST = 128
 
 
-def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d, *,
+def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                  chist_ref, shist_ref, *,
                   H, W, F, nc, interp, include_prior, prior_weight,
                   max_iterations, min_step_size, min_gradient, min_reduction,
                   min_relative_reduction, orthonormalize):
@@ -226,11 +230,15 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d, *,
             chi2_s = chi2_s + chi2_f
         return A_s, b_s, chi2_s
 
-    # initial out: identity A, zero b (solve_gauss_newton's init carry)
+    # initial out: identity A, zero b (solve_gauss_newton's init carry);
+    # history rows NaN-filled like SolverResult's fixed-length buffers
     for k in range(36):
         out_ref[k] = jnp.float32(1.0 if k % 7 == 0 else 0.0)
     for k in range(36, 42):
         out_ref[k] = jnp.float32(0.0)
+    for k in range(_HIST):
+        chist_ref[0, k] = jnp.float32(jnp.nan)
+        shist_ref[0, k] = jnp.float32(jnp.nan)
 
     def cond(carry):
         i, pushed, done, chi2_prev, Rd, td = carry
@@ -258,6 +266,13 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d, *,
         t_new = tuple(_mat3_vec(Rd, te)[k] + td[k] for k in range(3))
         if orthonormalize:
             R_new = _orthonormalize(R_new)
+
+        # per-iteration telemetry (Solver::Results chi2/stepSize buffers,
+        # Solver.h:40-56): dynamic scalar stores into the SMEM history rows
+        @pl.when(i < _HIST)
+        def _():
+            chist_ref[0, i] = chi2
+            shist_ref[0, i] = step
 
         b_max = b[0]
         for k in range(1, 6):
@@ -375,13 +390,21 @@ def solve_level_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        # out is 2-D (1, _OUT): under vmap the batch dim is squeezed onto the
-        # front and the TPU lowering requires the last two block dims to
-        # equal the array dims — a 1-D (_OUT,) block would violate that
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, _OUT), jnp.float32),
+        # outputs are 2-D (1, N): under vmap the batch dim is squeezed onto
+        # the front and the TPU lowering requires the last two block dims to
+        # equal the array dims — 1-D blocks would violate that
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, _OUT), jnp.float32),
+            jax.ShapeDtypeStruct((1, _HIST), jnp.float32),
+            jax.ShapeDtypeStruct((1, _HIST), jnp.float32),
+        ],
     )(params, pack.geom, pack.jt, img)
-    out = out[0]
+    out, chist, shist = out[0][0], out[1][0], out[2][0]
 
     A = out[0:36].reshape(6, 6).astype(dtype)
     b = out[36:42].astype(dtype)
@@ -395,10 +418,18 @@ def solve_level_fused(
 
     delta = SE3(Rd, td)
     rel_out = se3_mod.compose(rel0, SE3(jnp.broadcast_to(Rd, (F, 3, 3)), jnp.broadcast_to(td, (F, 3))))
-    nan_hist = jnp.full((int(s.max_iterations),), jnp.nan, dtype)
+
+    # fixed-length history buffers matching the XLA path's SolverResult
+    # (Solver.h:40-56 telemetry; NaN beyond the recorded iterations)
+    n_it = int(s.max_iterations)
+    def to_hist(row):
+        if n_it <= _HIST:
+            return row[:n_it].astype(dtype)
+        return jnp.concatenate([row, jnp.full((n_it - _HIST,), jnp.nan, row.dtype)]).astype(dtype)
+
     result = SolverResult(
         x=_LevelState(delta),
         A=A, b=b, chi2=chi2, iterations=iterations, valid=valid,
-        chi2_history=nan_hist, step_history=nan_hist,
+        chi2_history=to_hist(chist), step_history=to_hist(shist),
     )
     return rel_out, result

@@ -82,7 +82,7 @@ class AlignmentConfig:
     # a global residual scale and fall back to the gather path). "fused_gn":
     # the ENTIRE per-level Gauss-Newton solve as one kernel (fused_solve.py):
     # per-pair early exit under vmap + zero per-iteration XLA overhead;
-    # quadratic loss only, no iteration-history telemetry.
+    # quadratic loss only.
     sampler: str = "gather"
     # Image dtype for the fused sampler's MXU one-hot matmuls: "bfloat16"
     # doubles MXU throughput; intensities are 0..255 so bf16 rounding stays
@@ -458,10 +458,6 @@ def align(
     buffers plus accepted-iteration counts, coarsest level first — the
     LOG_PLT("SolverGN") payload (reference GaussNewton.cpp:100).
     """
-    if with_diagnostics and cfg.sampler == "fused_gn":
-        # the in-kernel solver records no per-iteration history; route the
-        # diagnostics path through the per-iteration fused-NE kernel instead
-        cfg = dataclasses.replace(cfg, sampler="fused")
     n_levels = len(ref_frames.intensity)
     rel = rel_init
     cov = jnp.eye(6, dtype=cur_frame.intensity[0].dtype)
