@@ -214,3 +214,16 @@ def test_fused_gn_kernel_records_history():
     # recorded prefix is finite-step too
     for lvl in range(2):
         assert np.all(np.isfinite(step[lvl][: n_rec[lvl]]))
+
+
+def test_plot_histogram(tmp_path):
+    """vis::Histogram parity (visuals.h:34-70): residual-distribution plot."""
+    from vslam_tpu.eval.plot import plot_histogram
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([rng.normal(0, 1, 500), [np.nan, np.inf]])
+    out = str(tmp_path / "hist.png")
+    plot_histogram(vals, out, title="residuals", xlabel="r")
+    import os
+
+    assert os.path.getsize(out) > 0

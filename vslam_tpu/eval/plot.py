@@ -16,7 +16,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..core import lie_np
 from . import metrics
 
-__all__ = ["plot_trajectory", "plot_rpe", "plot_gauss_newton", "install_convergence_renderer"]
+__all__ = ["plot_trajectory", "plot_rpe", "plot_gauss_newton", "plot_histogram", "install_convergence_renderer"]
 
 
 def plot_trajectory(
@@ -71,6 +71,22 @@ def plot_gauss_newton(data: Dict[str, np.ndarray], out_path: str) -> None:
     a2.set_yscale("log")
     a2.set_xlabel("iteration")
     fig.suptitle("Gauss-Newton convergence")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def plot_histogram(values: np.ndarray, out_path: str, title: str = "Histogram",
+                   bins: int = 50, xlabel: str = "value") -> None:
+    """Histogram drawable (reference vis::Histogram, visuals.h:34-70 — used
+    there for residual/weight distributions). Non-finite entries dropped."""
+    v = np.asarray(values, np.float64).reshape(-1)
+    v = v[np.isfinite(v)]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.hist(v, bins=bins, color="tab:blue", alpha=0.85)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("count")
+    ax.set_title(f"{title} (n={len(v)})")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
