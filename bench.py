@@ -31,7 +31,9 @@ def main():
 
     H, W = 480, 640
     FX = 525.0
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    # B=64 saturates the chip for the in-kernel GN profile (1990 pairs/s
+    # vs 1839 at B=32 and 1446 at B=128, where VMEM/grid pressure bites)
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
 
     K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
@@ -75,8 +77,8 @@ def main():
         # the whole-level in-kernel Gauss-Newton solver (fused_solve.py:
         # warp+sample+JtWJ+Cholesky+guards in ONE Pallas kernel per level,
         # per-pair early exit under vmap) from a bf16 image copy — measured
-        # 1821 pairs/s vs 1350 for the per-iteration fused-NE kernel and 905
-        # for the XLA gather path, same accuracy-gate margin.
+        # 1990 pairs/s at B=64 vs 1350 for the per-iteration fused-NE kernel
+        # and 905 for the XLA gather path, same accuracy-gate margin.
         # BENCH_SAMPLER=gather|mxu|fused|fused_gn, BENCH_IMG_DTYPE=float32
         # restore the other paths.
         interpolation=os.environ.get("BENCH_INTERP", "nearest"),
