@@ -118,3 +118,71 @@ def test_cli_fused_mapping(mini_dataset, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["ate_rmse_m"] < 0.02, res
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    """Synthetic stereo mini-KITTI: left images at the trajectory poses,
+    right images at a baseline shift along camera +x; depth comes from the
+    on-device block matcher — the full --format kitti path."""
+    root = tmp_path_factory.mktemp("mini_kitti")
+    seq = root / "sequences" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    (root / "poses").mkdir()
+    BASELINE = 0.54
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N_FRAMES, trans_amp=0.05, rot_amp=0.015, seed=4)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+
+    # right camera frame = left frame translated +b along camera x, so
+    # T_right<-world = T_shift @ T_left<-world where T_shift maps left-frame
+    # coordinates to right-frame ones (x' = x - b)
+    shift = np.eye(4)
+    shift[0, 3] = -BASELINE
+    times, pose_rows = [], []
+    for i, p in enumerate(poses):
+        left, _ = synthetic.render(K, p, (H, W))
+        right, _ = synthetic.render(K, shift @ p, (H, W))
+        name = f"{i:06d}.png"
+        Image.fromarray(np.clip(left, 0, 255).astype(np.uint8), mode="L").save(
+            seq / "image_0" / name
+        )
+        Image.fromarray(np.clip(right, 0, 255).astype(np.uint8), mode="L").save(
+            seq / "image_1" / name
+        )
+        times.append(i / 10.0)
+        Tcw = lie_np.inv(p)  # cam0 -> world
+        pose_rows.append(" ".join(f"{v:.9f}" for v in Tcw[:3, :4].reshape(-1)))
+    (seq / "times.txt").write_text("\n".join(f"{t:.6f}" for t in times) + "\n")
+    cx, cy = (W - 1) / 2, (H - 1) / 2
+    p0_row = f"P0: {FX} 0 {cx} 0 0 {FX} {cy} 0 0 0 1 0"
+    p1_row = f"P1: {FX} 0 {cx} {-FX*BASELINE} 0 {FX} {cy} 0 0 0 1 0"
+    (seq / "calib.txt").write_text(p0_row + "\n" + p1_row + "\n")
+    (root / "poses" / "00.txt").write_text("\n".join(pose_rows) + "\n")
+    return root
+
+
+def test_cli_kitti_odometry(mini_kitti, tmp_path, capsys):
+    """--format kitti end to end: stereo PNGs -> block-matching depth ->
+    tracking -> trajectory -> ATE vs KITTI-format ground truth. Stereo
+    depth is quantized (integer disparities + subpixel fit), so the budget
+    is looser than the RGB-D path's."""
+    out = str(tmp_path / "kitti_traj.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_kitti),
+            "--format", "kitti",
+            "--sequence", "00",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    lines = [json.loads(l) for l in printed if l.startswith("{")]
+    assert lines[0]["frames"] == N_FRAMES
+    res = lines[-1]
+    assert "ate_rmse_m" in res, printed
+    assert res["ate_rmse_m"] < 0.05, res
