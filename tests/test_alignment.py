@@ -282,3 +282,31 @@ def test_fused_gn_stacked_with_prior_matches_gather():
         results[name] = pose_est
     d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results["fused_gn"])))
     assert d < 2e-3, d
+
+
+@pytest.mark.parametrize("loss_name", ["Tukey", "tdistribution"])
+def test_fused_sampling_robust_loss_matches_gather(loss_name):
+    """Robust losses on the fused-sampler path: Pallas does the (HBM-bound)
+    warped sampling, XLA computes the global residual scale + M-estimator
+    weights from the compact arrays — must match the gather path."""
+    import dataclasses
+
+    from vslam_tpu.solvers import LossConfig
+
+    xi_true = np.array([0.012, -0.006, 0.009, 0.003, -0.005, 0.002])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    base = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear", max_points=4096, loss=LossConfig(loss_name),
+    )
+    results = {}
+    for name in ["gather", "fused"]:
+        cfg = dataclasses.replace(base, sampler=name)
+        pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+        assert ok, name
+        err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+        assert err < 0.01, f"{name} err {err}"
+        results[name] = pose_est
+    d = np.linalg.norm(lie_np.log(lie_np.relative(results["gather"], results["fused"])))
+    assert d < 1e-3, d

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.camera import Camera
 from ..core.se3 import SE3
 
-__all__ = ["FusedLevelPack", "pack_level", "fused_level_ne"]
+__all__ = ["FusedLevelPack", "pack_level", "fused_level_ne", "fused_level_sample"]
 
 _CHUNK = 1024  # points per grid step = one (8, 128) f32 tile row-block
 
@@ -85,14 +85,12 @@ def pack_level(pcl: jax.Array, J: jax.Array, templ: jax.Array, mask: jax.Array) 
     return FusedLevelPack(geom, jt)
 
 
-def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
-    """One chunk's residual pass + Gram block (pure values; shared by the
-    per-iteration NE kernel and the full in-kernel GN solver).
+def _sample_chunk(g, img_ref, scal, H, W, interp):
+    """One chunk's warp + projection + visibility + sampling (pure values).
 
-    g: (8, C) geometry rows [px, py, pz, templ, mask]; jrows: (8, C) Jᵀ rows;
-    img_ref: (H, W) VMEM ref; scal: 16 f32 scalars
-    (r00..r22, tx, ty, tz, fx, fy, cx, cy). Returns G (8, 8):
-    G[:6,:6] = JᵀWJ, G[:6,6] = JᵀWr, G[6,6] = chi2, G[7,7] = n_visible.
+    g: (8, C) geometry rows [px, py, pz, templ, mask]; img_ref: (H, W) VMEM
+    ref; scal: 16 f32 scalars (r00..r22, tx, ty, tz, fx, fy, cx, cy).
+    Returns (iwxp (C,) f32 sampled intensity, visible (C,) bool, templ (C,)).
     """
     (r00, r01, r02, r10, r11, r12, r20, r21, r22,
      tx, ty, tz, fx, fy, cx, cy) = scal
@@ -148,6 +146,18 @@ def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
         preferred_element_type=jnp.float32, precision=prec,
     )
     iwxp = jnp.sum(mix * wx.astype(jnp.float32), axis=-1)  # (C,)
+    return iwxp, visible, templ
+
+
+def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
+    """One chunk's residual pass + Gram block (pure values; shared by the
+    per-iteration NE kernel and the full in-kernel GN solver).
+
+    g: (8, C) geometry rows [px, py, pz, templ, mask]; jrows: (8, C) Jᵀ rows;
+    img_ref: (H, W) VMEM ref; scal as in _sample_chunk. Returns G (8, 8):
+    G[:6,:6] = JᵀWJ, G[:6,6] = JᵀWr, G[6,6] = chi2, G[7,7] = n_visible.
+    """
+    iwxp, visible, templ = _sample_chunk(g, img_ref, scal, H, W, interp)
 
     # residual + quadratic weights (loss "None": w = visible)
     w = visible.astype(jnp.float32)
@@ -224,3 +234,61 @@ def fused_level_ne(
     chi2 = out[:, 6, 6]
     n_vis = out[:, 7, 7]
     return A, b, chi2, n_vis
+
+
+def _sample_level_kernel(params_ref, geom_ref, img_ref, iw_ref, vis_ref, *, H, W, interp):
+    """Grid (F, nc); emits sampled intensity + visibility per point chunk
+    (the sampling-only companion of _ne_kernel, for robust losses whose
+    scale/weights are computed in XLA from the compact residual arrays)."""
+    scal = tuple(params_ref[0, k] for k in range(16))
+    iwxp, visible, _ = _sample_chunk(geom_ref[0, 0], img_ref, scal, H, W, interp)
+    iw_ref[0, 0] = iwxp.reshape(8, 128)
+    vis_ref[0, 0] = visible.astype(jnp.float32).reshape(8, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("interp",))
+def fused_level_sample(
+    pack: FusedLevelPack,
+    img: jax.Array,  # (H, W) f32 or bf16 current-frame intensity
+    rel: SE3,  # (F, 3, 3), (F, 3)
+    cam: Camera,
+    interp: str = "bilinear",
+) -> Tuple[jax.Array, jax.Array]:
+    """Warped-intensity samples for every packed point.
+
+    Returns (iwxp (F, Np) f32, visible (F, Np) bool) with Np = nc * chunk;
+    callers slice back to the unpadded point count.
+    """
+    F, nc = pack.geom.shape[:2]
+    H, W = img.shape
+    params = jnp.concatenate(
+        [
+            rel.R.reshape(F, 9).astype(jnp.float32),
+            rel.t.reshape(F, 3).astype(jnp.float32),
+            jnp.broadcast_to(
+                jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]).astype(jnp.float32), (F, 4)
+            ),
+        ],
+        axis=1,
+    )  # (F, 16)
+
+    kernel = functools.partial(_sample_level_kernel, H=H, W=W, interp=interp)
+    iw, vis = pl.pallas_call(
+        kernel,
+        grid=(F, nc),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8, _CHUNK), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda f, c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, 128), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F, nc, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((F, nc, 8, 128), jnp.float32),
+        ],
+    )(params, pack.geom, img)
+    Np = nc * _CHUNK
+    return iw.reshape(F, Np), vis.reshape(F, Np) > 0.0

@@ -316,6 +316,14 @@ def _use_fused(cfg: AlignmentConfig) -> bool:
     return cfg.sampler == "fused" and cfg.loss.function == "None"
 
 
+def _use_fused_sampling(cfg: AlignmentConfig) -> bool:
+    """Robust losses with a fused-kernel sampler: sampling (the HBM-bound
+    part) runs in the Pallas kernel, while the residual scale (median /
+    t-dist fixed point — a global statistic) and the robust weighting run in
+    XLA over the compact (P,) residual arrays, which are tiny."""
+    return cfg.sampler in ("fused", "fused_gn") and cfg.loss.function != "None"
+
+
 def level_normal_equations(
     data: ICLevelData,  # frame-batched: leaves (F, ...)
     rel: SE3,  # (F, 3, 3), (F, 3)
@@ -345,6 +353,31 @@ def level_normal_equations(
                 x_f if cfg.include_prior else None, dtype,
             )
         )(A.astype(dtype), b.astype(dtype), chi2.astype(dtype), data.n_constraints, rel, xp)
+        return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
+
+    if _use_fused_sampling(cfg):
+        from . import fused_ne
+
+        if pack is None:
+            pack = fused_ne.pack_level(data.pcl, data.J, data.templ, data.mask)
+        img = image_cur
+        if cfg.image_dtype == "bfloat16" and img.dtype != jnp.bfloat16:
+            img = img.astype(jnp.bfloat16)
+        interp = "bilinear" if cfg.interpolation == "bilinear" else "nearest"
+        iwxp, visible = fused_ne.fused_level_sample(pack, img, rel, cam_cur, interp)
+        N = data.templ.shape[1]
+        # the XLA-side scale/weight math stays in the template dtype (f32)
+        # even when the kernel sampled a bf16 image copy
+        dtype = data.templ.dtype
+        iwxp = iwxp[:, :N].astype(dtype)
+        visible = visible[:, :N]
+        img_xla = image_cur.astype(dtype)
+        per_frame = jax.vmap(
+            lambda d, g, x, iw, vis: _frame_normal_equations(
+                d, g, img_xla, cam_cur, cfg,
+                x if cfg.include_prior else None, precomputed=(iw, vis),
+            )
+        )(data, rel, xp, iwxp, visible)
         return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
 
     if cfg.sampler == "mxu":
@@ -402,7 +435,7 @@ def solve_level(
 
     pack = None
     img_solve = image_cur
-    if _use_fused(cfg):
+    if _use_fused(cfg) or _use_fused_sampling(cfg):
         # kernel operands packed ONCE per level, outside the GN while-loop
         # (the pack and the bf16 image copy are loop invariants)
         from . import fused_ne
