@@ -186,3 +186,27 @@ def test_cli_kitti_odometry(mini_kitti, tmp_path, capsys):
     res = lines[-1]
     assert "ate_rmse_m" in res, printed
     assert res["ate_rmse_m"] < 0.05, res
+
+
+def test_cli_kitti_fused_stereo(mini_kitti, tmp_path, capsys):
+    """--format kitti --fused: raw u8 stereo pairs stream to the device and
+    block-matching depth is computed INSIDE the scan step (fully fused
+    KITTI path)."""
+    out = str(tmp_path / "kitti_fused.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_kitti),
+            "--format", "kitti",
+            "--sequence", "00",
+            "--fused",
+            "--chunk", "4",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    lines = [json.loads(l) for l in printed if l.startswith("{")]
+    res = lines[-1]
+    assert "ate_rmse_m" in res, printed
+    assert res["ate_rmse_m"] < 0.05, res

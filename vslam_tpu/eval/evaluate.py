@@ -57,8 +57,16 @@ def _cmd_odometry(args) -> int:
         # fused on-device scan path (one dispatch per chunk; odometry-only)
         from ..odometry.sequential import SequentialConfig, SequentialOdometry
 
+        stereo_baseline = 0.0
+        stream = iter(ds)
+        if args.format == "kitti":
+            # fused KITTI: raw u8 stereo pair in, block-matching depth
+            # computed on device inside the scan step
+            stereo_baseline = ds.baseline
+            stream = ds.iter_stereo()
         seq_cfg = SequentialConfig(
             alignment=cfg.alignment_config(),
+            stereo_baseline=stereo_baseline,
             n_levels=cfg.pyramid_levels,
             kf_period=cfg.keyframe_selection_idx_period,
             kf_max_translation=cfg.keyframe_selection_max_translation,
@@ -75,7 +83,7 @@ def _cmd_odometry(args) -> int:
             )
         odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk, mapping=mapping)
         t0 = time.perf_counter()
-        results = odo.run(iter(ds))
+        results = odo.run(stream)
         elapsed = time.perf_counter() - t0
         n = len(results)
         est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}

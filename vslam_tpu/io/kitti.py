@@ -119,6 +119,12 @@ def _load_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path)).astype(np.float32)
 
 
+def _load_png_u8(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path)).astype(np.uint8)
+
+
 class KittiDataset:
     """Iterates (t_ns, gray_left f32, depth f32[m]) over a KITTI odometry
     sequence; depth from on-device stereo block matching."""
@@ -201,3 +207,11 @@ class KittiDataset:
             )
             t = self.times[i] if i < len(self.times) else i * 0.1
             yield int(t * 1e9), left, depth
+
+    def iter_stereo(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        """Raw (t_ns, left u8, right u8) stream — for the fused scan path,
+        which block-matches depth ON DEVICE inside the per-frame step
+        (SequentialConfig.stereo_baseline); uint8 transport halves H2D."""
+        for i, (lf, rf) in enumerate(zip(self.left_files, self.right_files)):
+            t = self.times[i] if i < len(self.times) else i * 0.1
+            yield int(t * 1e9), _load_png_u8(lf), _load_png_u8(rf)

@@ -49,6 +49,12 @@ class SequentialConfig:
     # scale 1/5000) — host->device bytes are the sequential bottleneck on a
     # remote-attached chip and uint transport is 2.7x smaller than f32.
     depth_scale: float = 1.0
+    # stereo mode: the second stream channel is the RIGHT image instead of a
+    # depth map; depth comes from on-device block matching inside the scan
+    # (io.kitti.stereo_depth) — the KITTI path fully fused. baseline in
+    # metres; 0 disables.
+    stereo_baseline: float = 0.0
+    stereo_max_disparity: int = 96
     n_levels: int = 3
     kf_period: int = 5  # keyframe_selection.idx.period
     kf_max_translation: float = 0.2  # KeyFrameSelectionCustom translation trigger
@@ -73,12 +79,17 @@ def init_state(
 ) -> SequentialState:
     """First frame initializes the chain and is the first keyframe
     (Odometry.cpp:33-35)."""
-    frame = create_frame(
-        jnp.asarray(intensity).astype(jnp.float32),
-        jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale),
-        camera,
-        n_levels=cfg.n_levels,
-    )
+    intensity = jnp.asarray(intensity).astype(jnp.float32)
+    if cfg.stereo_baseline > 0.0:
+        from ..io.kitti import stereo_depth
+
+        depth = stereo_depth(
+            intensity, jnp.asarray(depth).astype(jnp.float32), camera.fx,
+            cfg.stereo_baseline, max_disparity=cfg.stereo_max_disparity,
+        )
+    else:
+        depth = jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale)
+    frame = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
     pose = pose0 if pose0 is not None else se3.identity(dtype=jnp.float32)
     return SequentialState(
         kf=frame,
@@ -98,7 +109,16 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
     """One fused odometry update. `live` masks padded scan slots: a dead slot
     passes state through and re-emits the last pose."""
     intensity = intensity.astype(jnp.float32)
-    depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
+    if cfg.stereo_baseline > 0.0:
+        from ..io.kitti import stereo_depth
+
+        right = depth.astype(jnp.float32)
+        depth = stereo_depth(
+            intensity, right, camera.fx, cfg.stereo_baseline,
+            max_disparity=cfg.stereo_max_disparity,
+        )
+    else:
+        depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
     cur = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
 
     # constant-motion prediction (MotionPrediction.cpp:49-55)

@@ -84,12 +84,21 @@ class ChunkMappingBackend:
                 continue
             t_ns, intensity, depth = buf[j]
             est_pose = np.asarray(poses[j], np.float64)
-            dev = create_frame(
-                jnp.asarray(intensity).astype(jnp.float32),
-                jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale),
-                camera,
-                n_levels=cfg.n_levels,
-            )
+            intensity_j = jnp.asarray(intensity).astype(jnp.float32)
+            if cfg.stereo_baseline > 0.0:
+                # stereo stream: second channel is the right image
+                from ..io.kitti import stereo_depth
+
+                depth_j = stereo_depth(
+                    intensity_j,
+                    jnp.asarray(depth).astype(jnp.float32),
+                    camera.fx,
+                    cfg.stereo_baseline,
+                    max_disparity=cfg.stereo_max_disparity,
+                )
+            else:
+                depth_j = jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale)
+            dev = create_frame(intensity_j, depth_j, camera, n_levels=cfg.n_levels)
             frame = HostFrame(frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j]))
             self.map.insert(frame, True)
             try:
