@@ -53,6 +53,14 @@ class PipelineConfig:
     include_prior: bool = True
     # TPU-specific knobs (no reference equivalent)
     interpolation: str = "bilinear"  # bilinear (default) | nearest (reference parity)
+    # interest-point budget per frame at the finest level: 0 / 32768 = all
+    # points (reference-parity dense selection); the production tracking
+    # profile uses 2048 (accuracy saturates, see bench.py's gate)
+    features_max_points: int = 32768
+    # alignment compute path: gather (XLA, works everywhere) | mxu | fused |
+    # fused_gn (whole-level in-kernel Pallas GN — the bench profile)
+    sampler: str = "gather"
+    image_dtype: str = "float32"  # bfloat16 halves the fused kernels' MXU time
     # SLAM backend (NodeMapping: feature tracking + windowed BA on keyframes)
     enable_mapping: bool = False
     ba_max_iterations: int = 50
@@ -95,6 +103,9 @@ class PipelineConfig:
             ),
             include_prior=self.include_prior,
             interpolation=self.interpolation,
+            max_points=self.features_max_points,
+            sampler=self.sampler,
+            image_dtype=self.image_dtype,
         )
 
 

@@ -57,6 +57,14 @@ def _cmd_odometry(args) -> int:
         # fused on-device scan path (one dispatch per chunk; odometry-only)
         from ..odometry.sequential import SequentialConfig, SequentialOdometry
 
+        if not args.parity and cfg.sampler == "gather":
+            # production tracking profile (the bench configuration): the
+            # whole-level in-kernel GN solver on a 2048-point budget — see
+            # bench.py's accuracy gate. --parity restores the reference's
+            # dense gather semantics.
+            cfg = dataclasses.replace(
+                cfg, sampler="fused_gn", image_dtype="bfloat16", features_max_points=2048
+            )
         stereo_baseline = 0.0
         stream = iter(ds)
         if args.format == "kitti":
@@ -267,7 +275,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--intrinsics", default=None, help="fx,fy,cx,cy override (default: inferred)")
     p.add_argument("--mapping", action="store_true", help="enable SLAM backend (features + BA)")
-    p.add_argument("--fused", action="store_true", help="fused on-device scan path (odometry-only)")
+    p.add_argument("--fused", action="store_true", help="fused on-device scan path")
+    p.add_argument(
+        "--parity",
+        action="store_true",
+        help="with --fused: keep the reference-parity dense gather profile "
+        "instead of the fast in-kernel production profile",
+    )
     p.add_argument("--chunk", type=int, default=16, help="frames per device dispatch with --fused")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--log-level", default="WARNING")

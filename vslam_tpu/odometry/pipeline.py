@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 from typing import Iterable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +60,11 @@ class OdometryPipeline:
             max_translation=cfg.keyframe_selection_max_translation,
         )
         self.trajectory = Trajectory()
+        import functools
+
+        self._create_frame_jit = jax.jit(
+            functools.partial(create_frame, n_levels=cfg.pyramid_levels)
+        )
         self._log = get_logger("odometry")
         # enable visual-log sinks requested by the config (the reference
         # wires log.image/plot show flags at node startup,
@@ -89,11 +95,13 @@ class OdometryPipeline:
         """Returns (pose world->cam 4x4, cov 6x6) for this frame."""
         t0 = time.perf_counter()
         with timer.scope("pipeline.create_frame"):
-            device_frame = create_frame(
+            # one jitted dispatch: unjitted, the ~30 pyramid/Sobel ops each
+            # pay a device-dispatch round trip (~100 ms/frame on a
+            # remote-attached chip vs ~4 ms fused)
+            device_frame = self._create_frame_jit(
                 jnp.asarray(intensity, jnp.float32),
                 jnp.asarray(depth, jnp.float32),
                 self.camera,
-                n_levels=self.cfg.pyramid_levels,
             )
         with timer.scope("pipeline.predict"):
             pred = self.prediction.predict(t_ns)
