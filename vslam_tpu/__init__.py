@@ -8,7 +8,7 @@ lists, fused residual/normal-equation kernels, `lax.while_loop` solvers, and
 batched multi-sequence tracking via `vmap`/`shard_map` over device meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import jax as _jax
 
