@@ -75,6 +75,7 @@ def _cmd_odometry(args) -> int:
         seq_cfg = SequentialConfig(
             alignment=cfg.alignment_config(),
             stereo_baseline=stereo_baseline,
+            prediction_model=cfg.prediction_model,
             n_levels=cfg.pyramid_levels,
             kf_period=cfg.keyframe_selection_idx_period,
             kf_max_translation=cfg.keyframe_selection_max_translation,

@@ -35,6 +35,7 @@ from ..core import se3
 from ..core.camera import Camera
 from ..core.frame import Frame, create_frame
 from ..core.se3 import SE3
+from ..kalman import ekf_se3
 
 __all__ = ["SequentialConfig", "SequentialState", "init_state", "scan_odometry", "SequentialOdometry"]
 
@@ -56,6 +57,12 @@ class SequentialConfig:
     stereo_baseline: float = 0.0
     stereo_max_disparity: int = 96
     n_levels: int = 3
+    # prediction.model (MotionPrediction.cpp:22-36): NoMotion |
+    # ConstantMotion | Kalman — the EKF variant runs fully in-scan
+    # (predict/anchor/update per frame, kalman/ekf_se3.py)
+    prediction_model: str = "ConstantMotion"
+    ekf_process_noise: float = 1e-2
+    ekf_measurement_noise: float = 1e-2
     kf_period: int = 5  # keyframe_selection.idx.period
     kf_max_translation: float = 0.2  # KeyFrameSelectionCustom translation trigger
     include_key_frame: bool = True  # align {kf, last} jointly (Odometry.cpp:36)
@@ -68,6 +75,7 @@ class SequentialState(NamedTuple):
     pose_last: SE3
     speed: jax.Array  # (6,) twist / s
     kf_ctr: jax.Array  # frames since last keyframe (int32)
+    ekf: ekf_se3.EkfState  # used when prediction_model == "Kalman"
 
 
 def init_state(
@@ -98,6 +106,7 @@ def init_state(
         pose_last=pose,
         speed=jnp.zeros(6, jnp.float32),
         kf_ctr=jnp.asarray(0, jnp.int32),
+        ekf=ekf_se3.init(pose=pose, process_noise=cfg.ekf_process_noise),
     )
 
 
@@ -121,9 +130,18 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
         depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
     cur = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
 
-    # constant-motion prediction (MotionPrediction.cpp:49-55)
-    rel_pred_last = se3.exp(state.speed * dt)
-    pred_pose = se3.compose(rel_pred_last, state.pose_last)
+    if cfg.prediction_model == "Kalman":
+        # EKF predict (MotionPrediction.cpp:57-81 via EKFConstantVelocitySE3)
+        ekf_pred, pred_pose = ekf_se3.predict(state.ekf, dt)
+        pred_pose = se3.orthonormalize(pred_pose)
+    elif cfg.prediction_model == "NoMotion":
+        ekf_pred = state.ekf
+        pred_pose = state.pose_last
+    else:
+        # constant-motion prediction (MotionPrediction.cpp:49-55)
+        ekf_pred = state.ekf
+        rel_pred_last = se3.exp(state.speed * dt)
+        pred_pose = se3.compose(rel_pred_last, state.pose_last)
 
     if cfg.include_key_frame:
         refs = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), state.kf, state.last)
@@ -147,6 +165,18 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
     rel_last = se3.compose(pose_new, se3.inverse(state.pose_last))
     speed_new = jnp.where(ok & (dt > 0), se3.log(rel_last) / jnp.maximum(dt, 1e-6), jnp.zeros(6, jnp.float32))
 
+    if cfg.prediction_model == "Kalman":
+        # mirror the host MotionPredictionKalman.update: re-anchor the filter
+        # pose at the odometry pose, then a velocity-twist measurement update
+        # with R derived from the aligner covariance
+        v_meas = se3.log(rel_last) / jnp.maximum(dt, 1e-6)
+        anchored = ekf_pred._replace(pose=pose_new)
+        R = ekf_se3.measurement_noise_from_cov(cov, scale=cfg.ekf_measurement_noise)
+        ekf_upd = ekf_se3.update(anchored, v_meas, R)
+        ekf_new = _select_tree(dt > 0, ekf_upd, anchored)
+    else:
+        ekf_new = state.ekf
+
     # keyframe policy: idx period or translation trigger
     ctr = state.kf_ctr + 1
     rel_kf = se3.compose(pose_new, se3.inverse(state.pose_kf))
@@ -159,6 +189,7 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
         pose_last=pose_new,
         speed=speed_new,
         kf_ctr=jnp.where(is_kf, 0, ctr).astype(jnp.int32),
+        ekf=ekf_new,
     )
     new_state = _select_tree(live, new_state, state)
     pose_out = _select_tree(live, pose_new, state.pose_last)
