@@ -20,9 +20,19 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# The axon sitecustomize (remote-TPU tunnel) registers its PJRT plugin at
+# interpreter start and force-sets jax_platforms="axon,cpu", overriding the
+# env var above — which would silently run the suite through the tunnel.
+# Re-assert CPU via the config API (jax is imported but no backend is
+# initialized yet, so this still takes effect).
+jax.config.update("jax_platforms", "cpu")
+
+# NO persistent compilation cache: XLA:CPU executable serialization
+# (compilation_cache.put_executable_and_time) segfaults sporadically on this
+# jaxlib for the large fused-scan programs, and AOT entries are
+# machine-feature-specific (cross-host reuse can SIGILL). Warm-compile time
+# is the price of a deterministic suite.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
