@@ -96,6 +96,7 @@ def _cmd_odometry(args) -> int:
         elapsed = time.perf_counter() - t0
         n = len(results)
         est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}
+        covs = {t / 1e9: c for t, _, c in results}
         pipeline = None
     else:
         pipeline = OdometryPipeline(camera, cfg)
@@ -109,9 +110,16 @@ def _cmd_odometry(args) -> int:
                 log.warning("frame %d/%d (%.1f fps)", n, len(ds), fps)
         elapsed = time.perf_counter() - t0
         est = {t / 1e9: np.linalg.inv(p) for t, p in pipeline.trajectory.items()}
+        covs = {
+            t / 1e9: pipeline.trajectory.cov_at(t)
+            for t, _ in pipeline.trajectory.items()
+            if pipeline.trajectory.cov_at(t) is not None
+        }
     # (cam->world TUM convention; inv is exact for rigid transforms)
+    # Covariance columns are always appended, like NodeResultWriter
+    # (NodeResultWriter.cpp:17-32 writes the 36 entries on every row).
     out = args.out or "trajectory.txt"
-    tum.write_trajectory(out, est)
+    tum.write_trajectory(out, est, covs=covs if covs else None)
     meta = {
         "dataset": args.dataset,
         "frames": n,

@@ -18,7 +18,15 @@ import numpy as np
 
 from ..core import lie_np
 
-__all__ = ["associate", "align_horn", "ate_rmse", "rpe", "summarize"]
+__all__ = [
+    "associate",
+    "align_horn",
+    "ate_rmse",
+    "rpe",
+    "evaluate_rpe_full",
+    "rpe_stats",
+    "summarize",
+]
 
 
 def associate(
@@ -150,6 +158,153 @@ def rpe(
         float(np.sqrt(np.mean(r_errs**2))),
         len(t_errs),
     )
+
+
+def _find_closest_index(L: np.ndarray, t: float) -> int:
+    """Index of the closest value in a sorted array (evaluate_rpe.py's
+    binary-search helper, vectorized)."""
+    j = int(np.searchsorted(L, t))
+    if j >= len(L):
+        return len(L) - 1
+    if j > 0 and abs(L[j - 1] - t) <= abs(L[j] - t):
+        return j - 1
+    return j
+
+
+def _motion_angle(T: np.ndarray) -> float:
+    return float(np.arccos(min(1.0, max(-1.0, (np.trace(T[:3, :3]) - 1.0) / 2.0))))
+
+
+def _distances_along(traj: Dict[float, np.ndarray], stamps: List[float], angular: bool) -> np.ndarray:
+    """Cumulative translational distance (m) or rotation angle (rad) along the
+    trajectory — the delta index for delta_unit 'm' / 'rad' / 'deg'."""
+    out = [0.0]
+    acc = 0.0
+    for a, b in zip(stamps[:-1], stamps[1:]):
+        # NOTE the reference's operand order: ominus(traj[k+1], traj[k])
+        rel = lie_np.inv(traj[b]) @ traj[a]
+        acc += _motion_angle(rel) if angular else float(np.linalg.norm(rel[:3, 3]))
+        out.append(acc)
+    return np.asarray(out)
+
+
+def evaluate_rpe_full(
+    traj_gt: Dict[float, np.ndarray],
+    traj_est: Dict[float, np.ndarray],
+    max_pairs: int = 10000,
+    fixed_delta: bool = False,
+    delta: float = 1.0,
+    delta_unit: str = "s",
+    offset: float = 0.0,
+    scale: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """The complete RPE protocol of the reference's TUM script
+    (`script/vslam_evaluation/tum/evaluate_rpe.py:204-297`,
+    `evaluate_trajectory`), option-for-option:
+
+    - delta_unit 's' (timestamps), 'm' (meters along trajectory), 'rad'/'deg'
+      (rotation along trajectory), 'f' (frames);
+    - fixed_delta picks, per index i, the closest index j at delta distance
+      (pairs whose j is the LAST index are dropped — a reference protocol
+      quirk kept for parity); otherwise all pairs, downsampled to max_pairs
+      with the seeded stdlib RNG (the script calls random.seed(0));
+    - offset shifts the estimated timestamps against ground truth; gt stamps
+      further than 2x the median gt interval from a requested stamp drop the
+      pair;
+    - scale multiplies the estimated relative translation;
+    - the pair error is ominus(scale(ominus(est_j, est_i)), ominus(gt_j, gt_i))
+      with ominus(a, b) = inv(a) @ b (note the j-before-i operand order).
+
+    Returns an (N, 6) array of rows
+    [stamp_est_0, stamp_est_1, stamp_gt_0, stamp_gt_1, trans_err, rot_err]
+    — the reference's --save file format.
+    """
+    import random as _random
+
+    stamps_gt = np.asarray(sorted(traj_gt.keys()), np.float64)
+    stamps_est_list = sorted(traj_est.keys())
+    stamps_est = np.asarray(stamps_est_list, np.float64)
+    n = len(stamps_est)
+
+    if delta_unit == "s":
+        index_est = stamps_est
+    elif delta_unit == "m":
+        index_est = _distances_along(traj_est, stamps_est_list, angular=False)
+    elif delta_unit == "rad":
+        index_est = _distances_along(traj_est, stamps_est_list, angular=True)
+    elif delta_unit == "deg":
+        index_est = _distances_along(traj_est, stamps_est_list, angular=True) * (
+            180.0 / np.pi
+        )
+    elif delta_unit == "f":
+        index_est = np.arange(n, dtype=np.float64)
+    else:
+        raise ValueError(f"Unknown unit for delta: '{delta_unit}'")
+
+    rng = _random.Random(seed)
+    if not fixed_delta:
+        if max_pairs == 0 or n < np.sqrt(max_pairs):
+            pairs = [(i, j) for i in range(n) for j in range(n)]
+        else:
+            pairs = [
+                (rng.randint(0, n - 1), rng.randint(0, n - 1))
+                for _ in range(max_pairs)
+            ]
+    else:
+        pairs = []
+        for i in range(n):
+            j = _find_closest_index(index_est, index_est[i] + delta)
+            if j != n - 1:
+                pairs.append((i, j))
+        if max_pairs != 0 and len(pairs) > max_pairs:
+            pairs = rng.sample(pairs, max_pairs)
+
+    gt_interval = float(np.median(np.diff(stamps_gt))) if len(stamps_gt) > 1 else 0.0
+    gt_max_dt = 2.0 * gt_interval
+
+    rows = []
+    for i, j in pairs:
+        s_e0, s_e1 = float(stamps_est[i]), float(stamps_est[j])
+        g0 = float(stamps_gt[_find_closest_index(stamps_gt, s_e0 + offset)])
+        g1 = float(stamps_gt[_find_closest_index(stamps_gt, s_e1 + offset)])
+        if abs(g0 - (s_e0 + offset)) > gt_max_dt or abs(g1 - (s_e1 + offset)) > gt_max_dt:
+            continue
+        rel_est = lie_np.inv(traj_est[s_e1]) @ traj_est[s_e0]
+        rel_est = rel_est.copy()
+        rel_est[:3, 3] *= scale
+        rel_gt = lie_np.inv(traj_gt[g1]) @ traj_gt[g0]
+        E = lie_np.inv(rel_est) @ rel_gt
+        rows.append([s_e0, s_e1, g0, g1, float(np.linalg.norm(E[:3, 3])), _motion_angle(E)])
+    if len(rows) < 2:
+        raise ValueError(
+            "Couldn't find matching timestamp pairs between groundtruth and "
+            "estimated trajectory!"
+        )
+    return np.asarray(rows, np.float64)
+
+
+def rpe_stats(rows: np.ndarray) -> Dict[str, float]:
+    """Summary statistics in the reference script's --verbose format
+    (translational in m, rotational in deg)."""
+    trans = rows[:, 4]
+    rot = rows[:, 5]
+    deg = 180.0 / np.pi
+    return {
+        "compared_pose_pairs": int(len(rows)),
+        "translational_error.rmse": float(np.sqrt(np.mean(trans**2))),
+        "translational_error.mean": float(np.mean(trans)),
+        "translational_error.median": float(np.median(trans)),
+        "translational_error.std": float(np.std(trans)),
+        "translational_error.min": float(np.min(trans)),
+        "translational_error.max": float(np.max(trans)),
+        "rotational_error.rmse": float(np.sqrt(np.mean(rot**2)) * deg),
+        "rotational_error.mean": float(np.mean(rot) * deg),
+        "rotational_error.median": float(np.median(rot) * deg),
+        "rotational_error.std": float(np.std(rot) * deg),
+        "rotational_error.min": float(np.min(rot) * deg),
+        "rotational_error.max": float(np.max(rot) * deg),
+    }
 
 
 def summarize(
