@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .linalg6 import cholesky_det_solve, cholesky_solve
+from .linalg6 import cholesky_logdet_solve, cholesky_solve
 from .normal_equations import NormalEquations
 
 __all__ = ["SolverConfig", "SolverResult", "solve_gauss_newton", "solve_levenberg_marquardt"]
@@ -76,6 +76,10 @@ class SolverResult(NamedTuple):
     # length = config.max_iterations; entries beyond `iterations` are NaN.
     chi2_history: jax.Array
     step_history: jax.Array
+    # (max_iterations, K) encoded state at which each iteration's NE was
+    # evaluated (only when the caller passed encode_x; None otherwise). Feeds
+    # the per-iteration visual-log replay (ic.iteration_images).
+    x_history: Any = None
 
 
 class _Carry(NamedTuple):
@@ -88,6 +92,7 @@ class _Carry(NamedTuple):
     done: jax.Array
     chi2_hist: jax.Array
     step_hist: jax.Array
+    x_hist: Any  # (max_iterations, K) or None
 
 
 def _select_tree(pred, a, b):
@@ -102,7 +107,13 @@ def solve_gauss_newton(
     x0: Any,
     n_params: int,
     config: SolverConfig = SolverConfig(),
+    encode_x: Callable[[Any], jax.Array] | None = None,
 ) -> SolverResult:
+    """``encode_x``, when given, maps the optimization state to a flat (K,)
+    vector recorded per evaluated iteration (the reference stores x per row of
+    Solver::Results, Solver.h:46); the history comes back as
+    ``SolverResult.x_history`` for post-hoc replay (per-iteration visual
+    logs) without burdening the while-loop with image-sized buffers."""
     ne0 = jax.eval_shape(compute_ne, x0)
     dtype = ne0.A.dtype
 
@@ -110,9 +121,12 @@ def solve_gauss_newton(
         ne = compute_ne(c.x)
         # unrolled Cholesky: solve + determinant in one straight-line pass
         # (jnp.linalg.det/solve lower to sequential LU while-loops on TPU)
-        dx, det = cholesky_det_solve(ne.A, ne.b)
+        # log-domain determinant: the raw det overflows f32 for large
+        # Jacobians (close-range depth) and would spuriously abort systems
+        # the reference's f64 det guard accepts (GaussNewton.cpp:59-63)
+        dx, logdet = cholesky_logdet_solve(ne.A, ne.b)
         stop_constraints = ne.n < n_params
-        stop_det = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-6)
+        stop_det = ~jnp.isfinite(logdet) | (logdet < jnp.log(1e-6))
         chi2_increased = (c.pushed > 0) & (ne.chi2 > c.chi2_prev)
         abort = stop_constraints | stop_det | chi2_increased
         step = jnp.linalg.norm(dx)
@@ -144,9 +158,10 @@ def solve_gauss_newton(
         # iteration, like the reference's r->chi2(i)/stepSize(i))
         chi2_hist = c.chi2_hist.at[c.i].set(ne.chi2)
         step_hist = c.step_hist.at[c.i].set(step)
+        x_hist = None if encode_x is None else c.x_hist.at[c.i].set(encode_x(c.x))
         return _Carry(
             x_next, chi2_next, A_next, b_next, c.i + 1, pushed_next, done,
-            chi2_hist, step_hist,
+            chi2_hist, step_hist, x_hist,
         )
 
     def cond(c: _Carry) -> jax.Array:
@@ -163,6 +178,15 @@ def solve_gauss_newton(
         done=jnp.asarray(False),
         chi2_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
         step_hist=jnp.full((config.max_iterations,), jnp.nan, dtype),
+        x_hist=(
+            None
+            if encode_x is None
+            else jnp.full(
+                (config.max_iterations,) + jax.eval_shape(encode_x, x0).shape,
+                jnp.nan,
+                dtype,
+            )
+        ),
     )
     out = lax.while_loop(cond, body, init)
     return SolverResult(
@@ -174,6 +198,7 @@ def solve_gauss_newton(
         valid=out.pushed > 0,
         chi2_history=out.chi2_hist,
         step_history=out.step_hist,
+        x_history=out.x_hist,
     )
 
 

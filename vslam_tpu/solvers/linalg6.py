@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cholesky_solve", "cholesky_det_solve", "inv_psd"]
+__all__ = ["cholesky_solve", "cholesky_det_solve", "cholesky_logdet_solve", "inv_psd"]
 
 
 def _chol_factor(A: jax.Array):
@@ -77,6 +77,37 @@ def cholesky_det_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array
 
 def cholesky_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     return cholesky_det_solve(A, b)[0]
+
+
+def cholesky_logdet_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Solve A x = b and return (x, log|det(A)|).
+
+    The raw determinant overflows f32 whenever the normal equations carry
+    large Jacobians (close-range depth: A entries ~1e10, det ~1e60), which
+    would spuriously trip the reference's finite-det guard that f64 passes
+    (GaussNewton.cpp:59-63). The log-domain value never overflows; the guard
+    becomes logdet < log(1e-6). Clamped (indefinite) pivots drive logdet to
+    very negative values, preserving the abort-on-bad-Hessian behavior."""
+    N = A.shape[-1]
+    L = _chol_factor(A)
+    logdet = jnp.log(L[0][0])
+    for j in range(1, N):
+        logdet = logdet + jnp.log(L[j][j])
+    logdet = 2.0 * logdet
+
+    y = [None] * N
+    for i in range(N):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * N
+    for i in reversed(range(N)):
+        s = y[i]
+        for k in range(i + 1, N):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1), logdet
 
 
 def inv3(A: jax.Array) -> jax.Array:

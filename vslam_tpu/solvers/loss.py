@@ -52,8 +52,14 @@ class LossConfig:
     function: str = "None"  # None | Tukey | Huber | tdistribution
     huber_c: float = 1.345
     tdistribution_v: float = 5.0
-    # scaler pairing follows NodeMapping.cpp:73-84: Tukey/Huber -> median,
-    # tdistribution -> t-distribution fixed point.
+    # Scaler pairing follows NodeMapping.cpp:73-84: Tukey/Huber -> median,
+    # tdistribution -> t-distribution fixed point. "reference" keeps the
+    # reference's MedianScaler formula sqrt(mean|r-med|) (Scaler.cpp:32) —
+    # dimensionally sqrt(intensity), which over-rejects once residuals exceed
+    # ~1 intensity unit (weights collapse early in convergence). "mad"
+    # replaces it with the statistically consistent robust sigma
+    # 1.4826 * median|r - med| for Tukey/Huber (t-dist unaffected).
+    scaler: str = "reference"  # reference | mad
 
 
 def tukey_weight(r: jax.Array, c: float = TUKEY_C) -> jax.Array:
@@ -131,9 +137,22 @@ def _t_dist_scale(
     return Scale(jnp.zeros_like(sigma), jnp.maximum(sigma, 1e-12))
 
 
+def _mad_scale(r: jax.Array, mask: jax.Array) -> Scale:
+    """Consistent robust sigma: 1.4826 * median|r - median(r)| (the Gaussian-
+    consistent MAD estimator). Not a reference formula — opt-in via
+    LossConfig.scaler="mad" for production-robust weighting."""
+    med = masked_median(r, mask)
+    mad = masked_median(jnp.abs(r - med), mask)
+    sigma = 1.4826 * mad
+    sigma = jnp.where(sigma > 1e-6, sigma, jnp.ones_like(sigma))
+    return Scale(med, sigma)
+
+
 def compute_scale(cfg: LossConfig, r: jax.Array, mask: jax.Array) -> Scale:
     """Residual standardization, dispatched statically on the loss kind."""
     if cfg.function in ("Tukey", "Huber"):
+        if cfg.scaler == "mad":
+            return _mad_scale(r, mask)
         return _median_scale(r, mask)
     if cfg.function == "tdistribution":
         return _t_dist_scale(r, mask, v=cfg.tdistribution_v)
