@@ -160,6 +160,76 @@ def test_aligner_emits_solver_plot(tmp_path):
     assert n0 >= 1 and np.all(np.isfinite(d["chi2"][0, :n0]))
 
 
+def test_aligner_emits_per_iteration_images(tmp_path):
+    """Enabling the ImageWarped/Residual/Weights sinks makes the aligner
+    emit one image per evaluated GN iteration (per level, coarsest first) —
+    the reference logs inside every iteration
+    (InverseCompositional.cpp:149-151)."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.aligner import RgbdAligner
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.core.frame import create_frame
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W, FX = 48, 64, 55.0
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    i0, d0 = synthetic.render(K, np.eye(4), (H, W))
+    xi = np.array([0.05, 0, 0, 0, 0.02, 0])
+    i1, d1 = synthetic.render(K, lie_np.exp(xi), (H, W))
+    f0 = create_frame(jnp.asarray(i0), jnp.asarray(d0), cam, n_levels=2)
+    f1 = create_frame(jnp.asarray(i1), jnp.asarray(d1), cam, n_levels=2)
+
+    sinks = {n: log_mod.log_img(n) for n in ("ImageWarped", "Residual", "Weights")}
+    arrays = {n: [] for n in sinks}
+    for n, s in sinks.items():
+        s.enabled = True
+        s.save_dir = str(tmp_path / n)
+        s.callback = (lambda nn: lambda name, arr: arrays[nn].append(arr))(n)
+    try:
+        cfg = AlignmentConfig(
+            min_gradient=5.0,
+            solver=SolverConfig(max_iterations=10, min_step_size=1e-7),
+            include_prior=False,
+            prior_weight=0.0,
+        )
+        aligner = RgbdAligner(cfg)
+        pose, cov, ok = aligner.align([f0], [np.eye(4)], f1, np.eye(4))
+    finally:
+        for s in sinks.values():
+            s.enabled = False
+            s.save_dir = None
+            s.callback = None
+    assert ok
+    n_imgs = len(arrays["ImageWarped"])
+    assert n_imgs >= 2, "expected one image per evaluated GN iteration"
+    assert len(arrays["Residual"]) == n_imgs == len(arrays["Weights"])
+    # .npy stacks on disk (the done-criterion artifact)
+    import os
+
+    assert len(os.listdir(tmp_path / "ImageWarped")) == n_imgs
+    # iterating reduces the residual: compare mean |r| over logged pixels of
+    # the first vs last iteration at the COARSEST level (the level that
+    # absorbs the initial motion; the fine level starts near-converged)
+    coarse = [a for a in arrays["Residual"] if a.shape == (1, H // 2, W // 2)]
+    assert coarse and len([a for a in arrays["Residual"] if a.shape == (1, H, W)]), (
+        "missing per-level residual stacks"
+    )
+
+    def mean_abs(a):
+        nz = np.abs(a[0])
+        return nz[nz > 0].mean() if (nz > 0).any() else 0.0
+
+    assert mean_abs(coarse[-1]) <= mean_abs(coarse[0]) * 0.9, (
+        mean_abs(coarse[0]),
+        mean_abs(coarse[-1]),
+    )
+
+
 def test_timer_registry():
     timer.reset()
     with timer.scope("unit.test"):

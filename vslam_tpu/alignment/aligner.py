@@ -23,7 +23,7 @@ import numpy as np
 from ..core import lie_np
 from ..core.frame import Frame
 from ..core.se3 import SE3
-from ..utils.log import log_plt
+from ..utils.log import log_img, log_plt
 from . import ic
 from .ic import AlignmentConfig
 
@@ -45,6 +45,48 @@ def _align_diag_jit(ref_stack: Frame, cur_frame: Frame, rel_init: SE3, x_pred, c
     return ic.align(ref_stack, cur_frame, rel_init, x_pred, cfg, with_diagnostics=True)
 
 
+@functools.partial(jax.jit, static_argnames=("level", "cfg"))
+def _level_data_jit(ref_stack: Frame, level: int, cfg: AlignmentConfig):
+    """Per-level interest-point data of the stacked reference frames (for the
+    iteration-log replay; mirrors the in-align precompute)."""
+    from ..core.camera import Camera as _Cam
+
+    cam = _Cam(*(jnp.reshape(c, (-1,))[0] for c in ref_stack.cameras[level]))
+    budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+    return ic.precompute_level(
+        ref_stack.intensity[level],
+        ref_stack.dIx[level],
+        ref_stack.dIy[level],
+        ref_stack.depth[level],
+        cam,
+        cfg.min_gradient,
+        max_points=budget,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _align_record_jit(ref_stack: Frame, cur_frame: Frame, rel_init: SE3, x_pred, cfg: AlignmentConfig):
+    """Alignment + the per-iteration GN trace (log(delta) per evaluated
+    iteration per level) for the visual-log replay."""
+    return ic.align(
+        ref_stack, cur_frame, rel_init, x_pred, cfg, record_iterations=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _align_cached_jit(ref_datas, cur_frame: Frame, rel_init: SE3, x_pred, cfg: AlignmentConfig):
+    """Alignment from per-frame cached level data (ic.precompute_frame):
+    the reference frames' steepest-descent precompute is reused across calls
+    — it only ever changes when a frame enters the map. ref_datas is a tuple
+    of per-frame tuples; stacked here (on device) along the F axis."""
+    n_levels = len(ref_datas[0])
+    ref_data = tuple(
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *(d[lvl] for d in ref_datas))
+        for lvl in range(n_levels)
+    )
+    return ic.align(None, cur_frame, rel_init, x_pred, cfg, ref_data=ref_data)
+
+
 class RgbdAligner:
     def __init__(self, cfg: AlignmentConfig = AlignmentConfig()):
         self.cfg = cfg
@@ -55,13 +97,21 @@ class RgbdAligner:
         ref_poses: Sequence[np.ndarray],  # world->cam 4x4 f64
         cur_frame: Frame,
         pred_pose: np.ndarray,  # predicted world->cam 4x4 f64
+        ref_data: Optional[Sequence] = None,  # per-frame ic.precompute_frame tuples
     ) -> Tuple[np.ndarray, np.ndarray, bool]:
         """Coarse-to-fine alignment of `cur_frame` against one or more
         reference frames (stacked normal equations, SE3Alignment.cpp:106-146).
 
+        When ``ref_data`` carries every reference frame's cached
+        ``ic.precompute_frame`` output, the per-level interest-point
+        precompute is skipped (it is constant for a frame's lifetime in the
+        map — the reference precomputes once per problem,
+        InverseCompositional.cpp:50-59).
+
         Returns (pose_world_to_cam 4x4 f64, covariance 6x6, valid).
         """
-        dtype = np.asarray(cur_frame.intensity[0]).dtype
+        # dtype read off the aval — np.asarray here would D2H the whole image
+        dtype = np.dtype(cur_frame.intensity[0].dtype)
         rels = [lie_np.relative(p, pred_pose) for p in ref_poses]
         rel_init = SE3(
             jnp.asarray(np.stack([r[:3, :3] for r in rels]), dtype),
@@ -70,28 +120,81 @@ class RgbdAligner:
         x_pred = jnp.asarray(
             np.stack([lie_np.log(r) for r in rels]), dtype
         )
-        ref_stack = stack_frames(ref_frames)
         plt_sink = log_plt("SolverGN")
-        if plt_sink.enabled:
+        img_sinks = [log_img(n) for n in ("ImageWarped", "Residual", "Weights")]
+        if any(s.enabled for s in img_sinks):
+            # per-GN-iteration visual logs (InverseCompositional.cpp:149-151):
+            # align while recording the 6-dof state per iteration, then
+            # replay each evaluated iteration into warped/residual/weights
+            # images and push them through the enabled sinks, coarsest level
+            # first (the solve order)
+            ref_stack = stack_frames(ref_frames)
+            rel_out, cov, valid, diag = _align_record_jit(
+                ref_stack, cur_frame, rel_init, x_pred, self.cfg
+            )
+            if plt_sink.enabled:
+                plt_sink.log(
+                    {k: np.asarray(diag[k]) for k in ("chi2", "step_size", "iterations")}
+                )
+            self._emit_iteration_logs(ref_stack, cur_frame, diag, img_sinks)
+        elif plt_sink.enabled:
             # solver observability: per-iteration chi2/step history per level
             # (reference emits LOG_PLT("SolverGN") after every solve,
             # GaussNewton.cpp:100)
             rel_out, cov, valid, diag = _align_diag_jit(
-                ref_stack, cur_frame, rel_init, x_pred, self.cfg
+                stack_frames(ref_frames), cur_frame, rel_init, x_pred, self.cfg
             )
             plt_sink.log({k: np.asarray(v) for k, v in diag.items()})
+        elif ref_data is not None and all(d is not None for d in ref_data):
+            rel_out, cov, valid = _align_cached_jit(
+                tuple(ref_data), cur_frame, rel_init, x_pred, self.cfg
+            )
         else:
-            rel_out, cov, valid = _align_jit(ref_stack, cur_frame, rel_init, x_pred, self.cfg)
+            rel_out, cov, valid = _align_jit(
+                stack_frames(ref_frames), cur_frame, rel_init, x_pred, self.cfg
+            )
 
-        ok = bool(valid)
+        # one fetch for everything the host needs
+        R0, t0, cov, ok = jax.device_get((rel_out.R[0], rel_out.t[0], cov, valid))
+        ok = bool(ok)
         rel0 = np.eye(4)
-        rel0[:3, :3] = np.asarray(rel_out.R[0], np.float64)
-        rel0[:3, 3] = np.asarray(rel_out.t[0], np.float64)
+        rel0[:3, :3] = np.asarray(R0, np.float64)
+        rel0[:3, 3] = np.asarray(t0, np.float64)
         # re-orthonormalize in f64 before composing into the absolute chain
         u, _, vt = np.linalg.svd(rel0[:3, :3])
         rel0[:3, :3] = u @ vt
         pose = rel0 @ ref_poses[0]
         return pose, np.asarray(cov, np.float64), ok
+
+    def _emit_iteration_logs(self, ref_stack, cur_frame, diag, sinks) -> None:
+        """Replay each evaluated GN iteration into the enabled LOG_IMG sinks
+        (ImageWarped / Residual / Weights — one array per iteration, the
+        reference's per-iteration emission, InverseCompositional.cpp:149-151).
+        One jitted dispatch per logged iteration; debug-only path."""
+        warped_sink, residual_sink, weights_sink = sinks
+        x_log = np.asarray(diag["x_log"])  # (L, I, 6)
+        rel0_R = np.asarray(diag["rel0_R"])
+        rel0_t = np.asarray(diag["rel0_t"])
+        L = x_log.shape[0]
+        for l_idx in range(L):
+            level = L - 1 - l_idx  # histories are stored coarsest-first
+            data = _level_data_jit(ref_stack, level, self.cfg)
+            n_eval = int(np.isfinite(x_log[l_idx, :, 0]).sum())
+            for i in range(n_eval):
+                out = jax.device_get(
+                    ic.iteration_images(
+                        data,
+                        jnp.asarray(rel0_R[l_idx]),
+                        jnp.asarray(rel0_t[l_idx]),
+                        jnp.asarray(x_log[l_idx, i]),
+                        cur_frame.intensity[level],
+                        cur_frame.cameras[level],
+                        self.cfg,
+                    )
+                )
+                warped_sink.log(out["image_warped"])
+                residual_sink.log(out["residual"])
+                weights_sink.log(out["weights"])
 
 
 def debug_images(ref_frame: Frame, cur_frame: Frame, rel_pose: np.ndarray, level: int = 0):

@@ -27,9 +27,10 @@ accumulation on the MXU) for ~2x MXU throughput; intensities are 0..255 so
 bf16 rounding stays below the quantization noise of the reference's uint8
 images (`types.h:33-65`).
 
-Robust losses need a global residual scale (median/t-dist fixed point) and
-therefore stay on the XLA path (`ic._frame_normal_equations`); the production
-config (`config/NodeMapping.yaml` loss: None) is fully covered.
+Robust losses need a global residual scale (median/t-dist fixed point); the
+in-kernel GN solver (`fused_solve.py`) computes it over VMEM-cached residuals,
+while the per-iteration path here pairs `fused_level_sample` with XLA-side
+scale/weights (`ic._frame_normal_equations`).
 """
 
 from __future__ import annotations
@@ -41,6 +42,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.platform import pallas_interpret
 
 from ..core.camera import Camera
 from ..core.se3 import SE3
@@ -218,6 +221,7 @@ def fused_level_ne(
     kernel = functools.partial(_ne_kernel, H=H, W=W, interp=interp)
     out = pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(F, nc),
         in_specs=[
             pl.BlockSpec((1, 16), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
@@ -275,6 +279,7 @@ def fused_level_sample(
     kernel = functools.partial(_sample_level_kernel, H=H, W=W, interp=interp)
     iw, vis = pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(F, nc),
         in_specs=[
             pl.BlockSpec((1, 16), lambda f, c: (f, 0), memory_space=pltpu.SMEM),

@@ -40,9 +40,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.platform import pallas_interpret
+
 from ..core.camera import Camera
 from ..core.se3 import SE3
-from .fused_ne import _CHUNK, _gram_chunk, pack_level
+from ..solvers.loss import TUKEY_C
+from .fused_ne import _CHUNK, _gram_chunk, _sample_chunk, pack_level
 
 __all__ = ["solve_level_fused"]
 
@@ -141,10 +144,12 @@ def _chol6(A, b):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
-    det_sqrt = L[0][0]
+    # log-domain determinant (raw det overflows f32 for close-range depth;
+    # the reference's f64 guard accepts those systems, GaussNewton.cpp:59-63)
+    logdet = jnp.log(L[0][0])
     for j in range(1, N):
-        det_sqrt = det_sqrt * L[j][j]
-    det = det_sqrt * det_sqrt
+        logdet = logdet + jnp.log(L[j][j])
+    logdet = 2.0 * logdet
     y = [None] * N
     for i in range(N):
         s = b[i]
@@ -157,7 +162,7 @@ def _chol6(A, b):
         for k in range(i + 1, N):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return tuple(x), det
+    return tuple(x), logdet
 
 
 # ---------------------------------------------------------------------------
@@ -176,11 +181,12 @@ _OUT = 128
 _HIST = 128
 
 
-def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
-                  chist_ref, shist_ref, *,
-                  H, W, F, nc, interp, include_prior, prior_weight,
-                  max_iterations, min_step_size, min_gradient, min_reduction,
-                  min_relative_reduction, orthonormalize):
+def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                chist_ref, shist_ref, r_buf, vis_buf, *,
+                H, W, F, nc, interp, include_prior, prior_weight,
+                max_iterations, min_step_size, min_gradient, min_reduction,
+                min_relative_reduction, orthonormalize,
+                loss_kind, huber_c, tdist_v):
     out_ref = out_ref_2d.at[0]
     frames = []
     for f in range(F):
@@ -195,6 +201,97 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
     for f in range(1, F):
         n_total = n_total + frames[f][3]
 
+    def _robust_weight(r_std):
+        """Vectorized M-estimator weight — mirrors solvers.loss.compute_weights
+        (incl. the reference Huber 1/|r| outlier quirk, Loss.cpp:65-72)."""
+        if loss_kind == 1:  # Huber
+            a = jnp.abs(r_std)
+            return jnp.where(a < huber_c, 1.0, 1.0 / jnp.maximum(a, 1e-30))
+        if loss_kind == 2:  # Tukey (Loss.cpp:49-63)
+            rc = r_std / TUKEY_C
+            w = jnp.square(1.0 - rc * rc)
+            return jnp.where(jnp.abs(r_std) < TUKEY_C, w, jnp.zeros_like(w))
+        # t-distribution (Loss.cpp:92)
+        return (tdist_v + 1.0) / (tdist_v + r_std * r_std)
+
+    def _masked_vals(f, c):
+        """Cached residuals + the frame's interest mask for chunk c: scale
+        statistics run over the full interest set with r = 0 at currently-
+        invisible points (InverseCompositional.cpp:129-137 semantics)."""
+        m = geom_ref[f, c][4, :] > 0.0
+        r = r_buf[f, c].reshape(_CHUNK)
+        return m, r
+
+    def _scale_tdist(f, n_f):
+        """ScalerTDistribution fixed point (Scaler.cpp:49-67), identical
+        constants to solvers.loss._t_dist_scale."""
+        n_safe = jnp.maximum(n_f, 1.0)
+
+        def cond(s):
+            _, step, it = s
+            return (it < 30) & (step > 1e-5)
+
+        def body(s):
+            sigma, _, it = s
+            sigma2 = jnp.maximum(sigma * sigma, 1e-24)
+            acc = jnp.float32(0.0)
+            for c in range(nc):
+                m, r = _masked_vals(f, c)
+                r2 = jnp.where(m, r * r, 0.0)
+                acc = acc + jnp.sum(r2 * (tdist_v + 1.0) / (tdist_v + r2 / sigma2))
+            sigma_new = jnp.sqrt(acc / n_safe)
+            return sigma_new, jnp.abs(sigma - sigma_new), it + 1
+
+        sigma, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.float32(1.0), jnp.float32(jnp.inf), jnp.int32(0))
+        )
+        return jnp.float32(0.0), jnp.maximum(sigma, 1e-12)
+
+    def _scale_median(f, n_f):
+        """MedianScaler (Scaler.cpp:21-35): offset = median, scale =
+        sqrt(sum|r - med| / (n - 1)). The median is a rank selection via
+        value-domain bisection over the cached residuals (24 halvings of the
+        [min, max] bracket -> ~3e-5 intensity-unit precision, far below the
+        sensor's quantization step); two ranks are averaged exactly like
+        core.image.masked_median."""
+        mn, mx = jnp.float32(jnp.inf), jnp.float32(-jnp.inf)
+        for c in range(nc):
+            m, r = _masked_vals(f, c)
+            mn = jnp.minimum(mn, jnp.min(jnp.where(m, r, jnp.inf)))
+            mx = jnp.maximum(mx, jnp.max(jnp.where(m, r, -jnp.inf)))
+        empty = ~(mx >= mn)  # no masked entries
+        mn = jnp.where(empty, 0.0, mn)
+        mx = jnp.where(empty, 0.0, mx)
+
+        def count_le(x):
+            acc = jnp.float32(0.0)
+            for c in range(nc):
+                m, r = _masked_vals(f, c)
+                acc = acc + jnp.sum(jnp.where(m & (r <= x), 1.0, 0.0))
+            return acc
+
+        def rank_value(k):  # k-th smallest (0-indexed), k an f32 scalar
+            def bis(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                below = count_le(mid) >= k + 1.0
+                return (jnp.where(below, lo, mid), jnp.where(below, mid, hi))
+
+            lo, hi = jax.lax.fori_loop(0, 24, bis, (mn, mx))
+            return hi
+
+        k_lo = jnp.maximum(jnp.floor((n_f - 1.0) * 0.5), 0.0)
+        k_hi = jnp.maximum(jnp.floor(n_f * 0.5), 0.0)
+        med = 0.5 * (rank_value(k_lo) + rank_value(k_hi))
+        med = jnp.where(n_f > 0, med, 0.0)
+        dev = jnp.float32(0.0)
+        for c in range(nc):
+            m, r = _masked_vals(f, c)
+            dev = dev + jnp.sum(jnp.where(m, jnp.abs(r - med), 0.0))
+        std = jnp.sqrt(dev / jnp.maximum(n_f - 1.0, 1.0))
+        std = jnp.where(std > 0, std, jnp.float32(1.0))
+        return med, std
+
     def compute_ne(Rd, td):
         """Stacked, normalized NE at delta: A (6x6 nested tuple), b (6), chi2."""
         A_s = [[jnp.float32(0.0)] * 6 for _ in range(6)]
@@ -205,9 +302,41 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
             R = _mat3_mul(R0, Rd)
             t = tuple(_mat3_vec(R0, td)[i] + t0[i] for i in range(3))
             scal = R + t + (fx, fy, cx, cy)
-            G = _gram_chunk(geom_ref[f, 0], jt_ref[f, 0], img_ref, scal, H, W, interp)
-            for c in range(1, nc):
-                G = G + _gram_chunk(geom_ref[f, c], jt_ref[f, c], img_ref, scal, H, W, interp)
+            if loss_kind == 0:
+                G = _gram_chunk(geom_ref[f, 0], jt_ref[f, 0], img_ref, scal, H, W, interp)
+                for c in range(1, nc):
+                    G = G + _gram_chunk(geom_ref[f, c], jt_ref[f, c], img_ref, scal, H, W, interp)
+            else:
+                # Robust losses: two passes per iteration over VMEM-cached
+                # residuals. Pass A warps/samples once and caches r; the
+                # global scale statistic (median bisection or t-dist fixed
+                # point) then re-reads the cache — never re-sampling — and
+                # pass B is the weighted Gram accumulation.
+                for c in range(nc):
+                    iwxp, visible, templ = _sample_chunk(
+                        geom_ref[f, c], img_ref, scal, H, W, interp
+                    )
+                    r = jnp.where(visible, iwxp - templ, 0.0)
+                    r_buf[f, c] = r.reshape(8, 128)
+                    vis_buf[f, c] = visible.astype(jnp.float32).reshape(8, 128)
+                if loss_kind == 3:
+                    offset, sigma = _scale_tdist(f, n_f)
+                else:
+                    offset, sigma = _scale_median(f, n_f)
+                G = jnp.zeros((8, 8), jnp.float32)
+                for c in range(nc):
+                    r = r_buf[f, c].reshape(_CHUNK)
+                    vis = vis_buf[f, c].reshape(_CHUNK)
+                    w = vis * _robust_weight((r - offset) / sigma)
+                    right = jnp.concatenate(
+                        [jt_ref[f, c][:6, :], r.reshape(1, _CHUNK),
+                         jnp.ones((1, _CHUNK), jnp.float32)], axis=0
+                    )
+                    left = right * w.reshape(1, _CHUNK)
+                    G = G + jax.lax.dot_general(
+                        left, right, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
             # extract scalars; symmetrize like the XLA path's 0.5 (G + G^T)
             inv_n = jnp.where(n_f > 1, 1.0 / jnp.maximum(n_f, 1.0), 1.0)
             A_f = [[0.5 * (G[i, j] + G[j, i]) * inv_n for j in range(6)] for i in range(6)]
@@ -247,10 +376,10 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
     def body(carry):
         i, pushed, done, chi2_prev, Rd, td = carry
         A, b, chi2 = compute_ne(Rd, td)
-        dx, det = _chol6(A, b)
+        dx, logdet = _chol6(A, b)
 
         stop_constraints = n_total < 6.0
-        stop_det = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-6)
+        stop_det = ~jnp.isfinite(logdet) | (logdet < jnp.log(1e-6))
         chi2_increased = (pushed > 0) & (chi2 > chi2_prev)
         abort = stop_constraints | stop_det | chi2_increased
 
@@ -324,6 +453,21 @@ def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
         out_ref[k] = jnp.float32(0.0)
 
 
+def _solve_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                  chist_ref, shist_ref, **kw):
+    """Quadratic-loss entry: no residual scratch."""
+    _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                chist_ref, shist_ref, None, None, **kw)
+
+
+def _solve_kernel_robust(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                         chist_ref, shist_ref, r_buf, vis_buf, **kw):
+    """Robust-loss entry: residual + visibility VMEM scratch (cached across
+    the per-iteration scale and weighted-Gram passes)."""
+    _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
+                chist_ref, shist_ref, r_buf, vis_buf, **kw)
+
+
 # ---------------------------------------------------------------------------
 # XLA wrapper
 # ---------------------------------------------------------------------------
@@ -367,8 +511,9 @@ def solve_level_fused(
     )
 
     s = cfg.solver
+    loss_kind = {"None": 0, "Huber": 1, "Tukey": 2, "tdistribution": 3}[cfg.loss.function]
     kernel = functools.partial(
-        _solve_kernel,
+        _solve_kernel if loss_kind == 0 else _solve_kernel_robust,
         H=H, W=W, F=F, nc=nc,
         interp="bilinear" if cfg.interpolation == "bilinear" else "nearest",
         include_prior=bool(cfg.include_prior and x_pred is not None),
@@ -381,9 +526,13 @@ def solve_level_fused(
             None if s.min_relative_reduction is None else float(s.min_relative_reduction)
         ),
         orthonormalize=bool(cfg.orthonormalize),
+        loss_kind=loss_kind,
+        huber_c=float(cfg.loss.huber_c),
+        tdist_v=float(cfg.loss.tdistribution_v),
     )
     out = pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -403,6 +552,14 @@ def solve_level_fused(
             jax.ShapeDtypeStruct((1, _HIST), jnp.float32),
             jax.ShapeDtypeStruct((1, _HIST), jnp.float32),
         ],
+        scratch_shapes=(
+            []
+            if loss_kind == 0
+            else [
+                pltpu.VMEM((F, nc, 8, 128), jnp.float32),
+                pltpu.VMEM((F, nc, 8, 128), jnp.float32),
+            ]
+        ),
     )(params, pack.geom, pack.jt, img)
     out, chist, shist = out[0][0], out[1][0], out[2][0]
 

@@ -29,6 +29,7 @@ photometric-vs-prior normalizer (SE3Alignment.cpp:37-47), and the analytic
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -45,7 +46,7 @@ from ..solvers.gauss_newton import SolverConfig, SolverResult, solve_gauss_newto
 from ..solvers.linalg6 import inv_psd
 from ..solvers.normal_equations import NormalEquations
 
-__all__ = ["AlignmentConfig", "ICLevelData", "precompute_level", "level_normal_equations", "align"]
+__all__ = ["AlignmentConfig", "ICLevelData", "precompute_level", "precompute_frame", "level_normal_equations", "align", "iteration_images"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +125,22 @@ def _projection_jacobian(p: jax.Array, fx, fy) -> jax.Array:
     return jnp.stack([row0, row1], axis=-2)
 
 
+def _depth_valid_3x3(depth: jax.Array) -> jax.Array:
+    """Depth validity eroded by the 3x3 neighborhood: a pixel participates
+    only if its whole 3x3 depth window is valid (> 0 and finite) — the
+    reference's WarpSE3 PCL exclusion rule (Warp.cpp:118-133). Sensor holes
+    corrupt the blurred-Sobel template gradients of adjacent pixels; this
+    keeps those boundary pixels out of the interest set."""
+    valid = jnp.isfinite(depth) & (depth > 0.0)
+    # pad with False: image-border pixels also fail the full-window rule
+    padded = jnp.pad(valid, [(0, 0)] * (valid.ndim - 2) + [(1, 1), (1, 1)])
+    out = jnp.ones_like(valid)
+    for dy in range(3):
+        for dx in range(3):
+            out = out & padded[..., dy : dy + valid.shape[-2], dx : dx + valid.shape[-1]]
+    return out
+
+
 def precompute_level(
     intensity: jax.Array,
     dIx: jax.Array,
@@ -154,7 +171,7 @@ def precompute_level(
         return fn(intensity, dIx, dIy, depth)
 
     grad2 = dIx * dIx + dIy * dIy
-    depth_valid = jnp.isfinite(depth) & (depth > 0.0)
+    depth_valid = _depth_valid_3x3(depth)
     mask = (grad2 >= min_gradient * min_gradient) & depth_valid
 
     ys = jnp.broadcast_to(jnp.arange(H, dtype=dtype)[:, None], (H, W))
@@ -177,6 +194,35 @@ def precompute_level(
     )
 
 
+def precompute_frame(frame: Frame, cfg: "AlignmentConfig") -> Tuple[ICLevelData, ...]:
+    """Per-level interest-point data for ONE frame (no frame axis), indexed
+    like ``Frame.intensity`` (0 = finest).
+
+    This is the cacheable half of the aligner: the reference precomputes the
+    steepest-descent rows once per problem (InverseCompositional.cpp:50-59),
+    and in a sequential scan the keyframe is constant for ~kf_period frames —
+    its precompute is a loop invariant. Callers cache the returned tuple
+    (e.g. in ``SequentialState``), stack two frames' tuples along a new F
+    axis, and pass the result to :func:`align` as ``ref_data``.
+    """
+    out = []
+    for level in range(len(frame.intensity)):
+        cam = Camera(*(jnp.reshape(c, (-1,))[0] for c in frame.cameras[level]))
+        budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+        out.append(
+            precompute_level(
+                frame.intensity[level],
+                frame.dIx[level],
+                frame.dIy[level],
+                frame.depth[level],
+                cam,
+                cfg.min_gradient,
+                max_points=budget,
+            )
+        )
+    return tuple(out)
+
+
 def _precompute_compact(
     intensity: jax.Array,  # (H, W)
     dIx: jax.Array,
@@ -195,7 +241,7 @@ def _precompute_compact(
     H, W = intensity.shape
     dtype = intensity.dtype
     grad2 = dIx * dIx + dIy * dIy
-    depth_valid = jnp.isfinite(depth) & (depth > 0.0)
+    depth_valid = _depth_valid_3x3(depth)
     mask = ((grad2 >= min_gradient * min_gradient) & depth_valid).reshape(-1)
 
     (idx,) = jnp.nonzero(mask, size=n_sel, fill_value=-1)
@@ -416,19 +462,30 @@ def solve_level(
     cam_cur: Camera,
     cfg: AlignmentConfig,
     x_pred: Optional[jax.Array],
+    record_iterations: bool = False,
 ) -> Tuple[SE3, SolverResult]:
     """One coarse-to-fine level: Gauss-Newton over the shared delta.
 
     All stacked frames receive the same compositional update
     (InverseCompositionalStacked::updateX broadcasts dx), i.e.
     rel_i = rel0_i . delta with one shared delta.
+
+    ``record_iterations`` (static) records log(delta) per GN iteration for
+    the visual-log replay; the in-kernel fused_gn solver keeps its history in
+    SMEM rows without a per-iteration x, so recording runs the XLA loop.
     """
     dtype = image_cur.dtype
 
-    if cfg.sampler == "fused_gn" and cfg.loss.function == "None":
-        # whole-level GN as ONE kernel: per-pair early exit under vmap, zero
-        # per-iteration XLA overhead (fused_solve.py). No iteration history —
-        # align(with_diagnostics=True) routes around this branch.
+    if (
+        cfg.sampler == "fused_gn"
+        and not record_iterations
+        and (cfg.loss.function == "None" or cfg.loss.scaler == "reference")
+    ):
+        # Whole-level GN as ONE kernel: per-pair early exit under vmap, zero
+        # per-iteration XLA overhead (fused_solve.py). Covers all four
+        # reference losses — robust scales (median bisection / t-dist fixed
+        # point) run in-kernel over VMEM-cached residuals. The extension
+        # "mad" scaler stays on the fused-sampling + XLA-weights path below.
         from .fused_solve import solve_level_fused
 
         return solve_level_fused(data, rel0, image_cur, cam_cur, cfg, x_pred)
@@ -457,7 +514,10 @@ def solve_level(
         return _LevelState(d)
 
     x0 = _LevelState(se3.identity(dtype=dtype))
-    result = solve_gauss_newton(compute_ne, update_x, x0, n_params=6, config=cfg.solver)
+    result = solve_gauss_newton(
+        compute_ne, update_x, x0, n_params=6, config=cfg.solver,
+        encode_x=(lambda s: se3.log(s.delta)) if record_iterations else None,
+    )
     rel_out = se3.compose(rel0, _broadcast(result.x.delta, rel0))
     return rel_out, result
 
@@ -470,13 +530,79 @@ def _broadcast(g: SE3, like: SE3) -> SE3:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def iteration_images(
+    data: ICLevelData,  # one level, leading F axis
+    rel0_R: jax.Array,  # (F, 3, 3) level-entry relative transforms
+    rel0_t: jax.Array,  # (F, 3)
+    x_it: jax.Array,  # (6,) recorded log(delta) of one GN iteration
+    image_cur: jax.Array,  # (H, W) current image at this level
+    cam_cur: Camera,
+    cfg: Optional[AlignmentConfig] = None,
+):
+    """Replay ONE recorded GN iteration into visual-log images.
+
+    The reference emits warped image / residual / weights inside every GN
+    iteration (InverseCompositional.cpp:149-151). On TPU the solve runs as a
+    `lax.while_loop`, so instead of dragging image-sized buffers through the
+    loop carry, the solver records the 6-dof state per iteration
+    (SolverResult.x_history) and this function re-evaluates the residual pass
+    at that state — one batched dispatch per logged iteration, only when a
+    sink is enabled.
+
+    Returns dict of (F, H, W): image_warped, residual, weights (the robust
+    M-estimator weights when ``cfg`` carries a loss, else the visibility
+    mask), scattered at the reference frames' interest pixels (background 0).
+    """
+    H, W = image_cur.shape
+    rel0 = SE3(rel0_R, rel0_t)
+    rel = se3.compose(rel0, _broadcast(se3.exp(x_it), rel0))
+    u, v, visible = _warp_visibility(data, rel, (H, W), cam_cur)
+    iwxp = jax.vmap(lambda uu, vv: img_ops.bilinear_sample(image_cur, uu, vv))(u, v)
+    r = jnp.where(visible, iwxp - data.templ, 0.0)
+
+    if cfg is not None and cfg.loss.function != "None":
+        def frame_w(r_f, m_f, vis_f):
+            scale = loss_mod.compute_scale(cfg.loss, r_f, m_f)
+            r_std = (r_f - scale.offset) / scale.scale
+            return jnp.where(vis_f, loss_mod.compute_weights(cfg.loss, r_std), 0.0)
+
+        weights = jax.vmap(frame_w)(r, data.mask, visible)
+    else:
+        weights = visible.astype(image_cur.dtype)
+
+    # template pixel coords of each interest point (pcl is in the reference
+    # camera frame; same rig as cur at this level)
+    uv_t, _ = cam_mod.project(cam_cur, data.pcl)
+    ui = jnp.clip(jnp.round(uv_t[..., 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv_t[..., 1]).astype(jnp.int32), 0, H - 1)
+
+    def scatter(vals, mask):
+        def one(vals_f, m_f, ui_f, vi_f):
+            img = jnp.zeros((H, W), vals.dtype)
+            vv = jnp.where(m_f, vals_f, 0.0)
+            # masked-out points all collapse onto pixel (0,0); overwrite it
+            # with 0 afterward rather than branch per point
+            return img.at[vi_f, ui_f].add(vv).at[0, 0].set(0.0)
+
+        return jax.vmap(one)(vals, mask, jnp.where(mask, ui, 0), jnp.where(mask, vi, 0))
+
+    return {
+        "image_warped": scatter(iwxp, visible),
+        "residual": scatter(r, visible),
+        "weights": scatter(weights, data.mask),
+    }
+
+
 def align(
-    ref_frames: Frame,  # pytree with leading frame axis F on every leaf
+    ref_frames: Optional[Frame],  # pytree with leading frame axis F on every leaf
     cur_frame: Frame,
     rel_init: SE3,  # (F,) initial cur<-ref transforms (prediction-based)
     x_pred: Optional[jax.Array],  # (F, 6) prior means log(pred . ref^-1)
     cfg: AlignmentConfig,
     with_diagnostics: bool = False,
+    ref_data: Optional[Tuple[ICLevelData, ...]] = None,
+    record_iterations: bool = False,
 ):
     """Full coarse-to-fine alignment (SE3Alignment.cpp:106-146 multi-frame).
 
@@ -490,41 +616,65 @@ def align(
     per-level solver telemetry — chi2/step_size (L, max_iterations) history
     buffers plus accepted-iteration counts, coarsest level first — the
     LOG_PLT("SolverGN") payload (reference GaussNewton.cpp:100).
+
+    ``ref_data``, when given, supplies the per-level :class:`ICLevelData`
+    (leading frame axis F on every leaf, indexed 0 = finest) and skips the
+    precompute entirely — the sequential scan caches the keyframe's and last
+    frame's data across steps (see :func:`precompute_frame`). ``ref_frames``
+    may then be None (cameras are taken from ``cur_frame`` — same rig, the
+    standing assumption of the stacked problem).
     """
-    n_levels = len(ref_frames.intensity)
+    n_levels = len(ref_data) if ref_data is not None else len(ref_frames.intensity)
     rel = rel_init
     cov = jnp.eye(6, dtype=cur_frame.intensity[0].dtype)
     valid_any = jnp.asarray(False)
     hist_chi2, hist_step, hist_iters = [], [], []
+    hist_x, hist_rel0_R, hist_rel0_t = [], [], []
     for level in range(n_levels - 1, -1, -1):
-        # per-frame cameras are identical across the F axis (same rig);
-        # take frame 0's intrinsics as scalars.
-        cam_ref = Camera(*(jnp.reshape(c, (-1,))[0] for c in ref_frames.cameras[level]))
-        budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
-        data = precompute_level(
-            ref_frames.intensity[level],
-            ref_frames.dIx[level],
-            ref_frames.dIy[level],
-            ref_frames.depth[level],
-            cam_ref,
-            cfg.min_gradient,
-            max_points=budget,
-        )
+        if ref_data is not None:
+            data = ref_data[level]
+        else:
+            # per-frame cameras are identical across the F axis (same rig);
+            # take frame 0's intrinsics as scalars.
+            cam_ref = Camera(*(jnp.reshape(c, (-1,))[0] for c in ref_frames.cameras[level]))
+            budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+            data = precompute_level(
+                ref_frames.intensity[level],
+                ref_frames.dIx[level],
+                ref_frames.dIy[level],
+                ref_frames.depth[level],
+                cam_ref,
+                cfg.min_gradient,
+                max_points=budget,
+            )
         cam_cur = cur_frame.cameras[level]
+        if record_iterations:
+            hist_rel0_R.append(rel.R)
+            hist_rel0_t.append(rel.t)
         rel, result = solve_level(
-            data, rel, cur_frame.intensity[level], cam_cur, cfg, x_pred
+            data, rel, cur_frame.intensity[level], cam_cur, cfg, x_pred,
+            record_iterations=record_iterations,
         )
         cov = jnp.where(result.valid, inv_psd(result.A), cov)
         valid_any = valid_any | result.valid
-        if with_diagnostics:
+        if with_diagnostics or record_iterations:
             hist_chi2.append(result.chi2_history)
             hist_step.append(result.step_history)
             hist_iters.append(result.iterations)
-    if with_diagnostics:
+        if record_iterations:
+            hist_x.append(result.x_history)
+    if with_diagnostics or record_iterations:
         diag = {
             "chi2": jnp.stack(hist_chi2),
             "step_size": jnp.stack(hist_step),
             "iterations": jnp.stack(hist_iters),
         }
+        if record_iterations:
+            # per-level GN trace for the visual-log replay: each level's
+            # entry rel (rel0) + log(delta) per evaluated iteration,
+            # coarsest level first (the solve order)
+            diag["x_log"] = jnp.stack(hist_x)  # (L, max_iter, 6)
+            diag["rel0_R"] = jnp.stack(hist_rel0_R)  # (L, F, 3, 3)
+            diag["rel0_t"] = jnp.stack(hist_rel0_t)  # (L, F, 3)
         return rel, cov, valid_any, diag
     return rel, cov, valid_any

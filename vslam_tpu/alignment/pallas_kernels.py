@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.platform import pallas_interpret
+
 __all__ = ["bilinear_sample_mxu_single"]
 
 _CHUNK = 1024  # points per grid step; (CHUNK, H) mask ~2 MB in VMEM
@@ -52,6 +54,7 @@ def bilinear_sample_mxu_single(img: jax.Array, u: jax.Array, v: jax.Array) -> ja
 
     out = pl.pallas_call(
         kernel,
+        interpret=pallas_interpret(),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),

@@ -52,6 +52,11 @@ class HostFrame:
     descriptors: Optional[np.ndarray] = None  # (N, D)
     kp_depth: Optional[np.ndarray] = None  # (N,)
     kp_landmark: Optional[np.ndarray] = None  # (N,) landmark id or -1
+    # cached per-level alignment precompute (ic.precompute_frame output),
+    # filled at frame build time; reused every time this frame serves as an
+    # alignment reference (the steepest-descent rows are constant per frame,
+    # InverseCompositional.cpp:50-59)
+    level_data: Optional[tuple] = None
 
 
 class Map:

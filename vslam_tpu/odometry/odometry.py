@@ -60,13 +60,20 @@ class OdometryRgbd:
 
         kf = self._map.last_kf()
         if self._include_key_frame and kf is not None and kf is not last:
-            refs, ref_poses = [kf.frame, last.frame], [kf.pose, last.pose]
+            ref_hosts = [kf, last]
         elif self._track_key_frame and kf is not None:
-            refs, ref_poses = [kf.frame], [kf.pose]
+            ref_hosts = [kf]
         else:
-            refs, ref_poses = [last.frame], [last.pose]
+            ref_hosts = [last]
+        refs = [h.frame for h in ref_hosts]
+        ref_poses = [h.pose for h in ref_hosts]
+        # cached per-frame precompute (filled at frame build): skips the
+        # per-level interest-point pass inside the aligner
+        ref_data = [h.level_data for h in ref_hosts]
 
-        pose, cov, ok = self._aligner.align(refs, ref_poses, frame.frame, frame.pose)
+        pose, cov, ok = self._aligner.align(
+            refs, ref_poses, frame.frame, frame.pose, ref_data=ref_data
+        )
         if ok:
             self._pose, self._cov = pose, cov
             dt = (frame.t_ns - last.t_ns) / _NS

@@ -62,9 +62,20 @@ class OdometryPipeline:
         self.trajectory = Trajectory()
         import functools
 
-        self._create_frame_jit = jax.jit(
-            functools.partial(create_frame, n_levels=cfg.pyramid_levels)
-        )
+        align_cfg = cfg.alignment_config()
+
+        def _build(intensity, depth, camera):
+            # frame build + alignment precompute fused into ONE dispatch:
+            # unjitted, the ~30 pyramid/Sobel ops each pay a device-dispatch
+            # round trip (~100 ms/frame on a remote-attached chip vs ~4 ms
+            # fused); the precompute is cached on the HostFrame and reused
+            # whenever this frame serves as an alignment reference.
+            from ..alignment import ic as _ic
+
+            frame = create_frame(intensity, depth, camera, n_levels=cfg.pyramid_levels)
+            return frame, _ic.precompute_frame(frame, align_cfg)
+
+        self._create_frame_jit = jax.jit(_build)
         self._log = get_logger("odometry")
         # enable visual-log sinks requested by the config (the reference
         # wires log.image/plot show flags at node startup,
@@ -98,30 +109,27 @@ class OdometryPipeline:
             # one jitted dispatch: unjitted, the ~30 pyramid/Sobel ops each
             # pay a device-dispatch round trip (~100 ms/frame on a
             # remote-attached chip vs ~4 ms fused)
-            device_frame = self._create_frame_jit(
+            device_frame, level_data = self._create_frame_jit(
                 jnp.asarray(intensity, jnp.float32),
                 jnp.asarray(depth, jnp.float32),
                 self.camera,
             )
         with timer.scope("pipeline.predict"):
             pred = self.prediction.predict(t_ns)
-        frame = HostFrame(frame=device_frame, t_ns=int(t_ns), pose=pred)
+        frame = HostFrame(
+            frame=device_frame, t_ns=int(t_ns), pose=pred, level_data=level_data
+        )
 
         with timer.scope("pipeline.align"):
             self.odometry.update(frame)
         frame.pose = self.odometry.pose
         frame.cov = self.odometry.cov
 
-        # visual logs (LOG_IMG parity: ImageWarped/Residual, Log.h:39) —
-        # null-objects unless a sink was enabled via utils.log.log_img(name)
-        if (log_img("ImageWarped").enabled or log_img("Residual").enabled) and self.map.last_frame() is not None:
-            from ..alignment.aligner import debug_images
-            from ..core import lie_np as _lie
-
-            rel = _lie.relative(self.map.last_frame().pose, frame.pose)
-            dbg = debug_images(self.map.last_frame().frame, frame.frame, rel)
-            log_img("ImageWarped").log(dbg["image_warped"])
-            log_img("Residual").log(dbg["residual"])
+        # visual logs (LOG_IMG parity: ImageWarped/Residual/Weights, Log.h:39)
+        # are emitted PER GN ITERATION by the aligner itself during
+        # odometry.update (RgbdAligner._emit_iteration_logs, the reference's
+        # InverseCompositional.cpp:149-151 affordance) — null-objects unless a
+        # sink was enabled via utils.log.log_img(name).
         self.prediction.update(frame.pose, t_ns, cov=frame.cov)
 
         self.keyframe_selection.update(frame)

@@ -33,7 +33,7 @@ from ..alignment import ic
 from ..alignment.ic import AlignmentConfig
 from ..core import se3
 from ..core.camera import Camera
-from ..core.frame import Frame, create_frame
+from ..core.frame import create_frame
 from ..core.se3 import SE3
 from ..kalman import ekf_se3
 
@@ -69,8 +69,16 @@ class SequentialConfig:
 
 
 class SequentialState(NamedTuple):
-    kf: Frame
-    last: Frame
+    # Cached per-level interest-point data (ic.precompute_frame) for the two
+    # reference frames, instead of their full pyramids: the keyframe's
+    # precompute is a loop invariant for ~kf_period steps (the reference
+    # builds the steepest-descent rows once per problem,
+    # InverseCompositional.cpp:50-59), and the last frame's data is computed
+    # exactly once — when that frame was `cur`. This removes ~2 frames of
+    # per-step precompute (interest-mask scan + backprojection + Jacobians)
+    # and shrinks the scan carry (no intensity/depth/gradient pyramids).
+    kf_data: Tuple[ic.ICLevelData, ...]
+    last_data: Tuple[ic.ICLevelData, ...]
     pose_kf: SE3  # world -> cam
     pose_last: SE3
     speed: jax.Array  # (6,) twist / s
@@ -98,10 +106,11 @@ def init_state(
     else:
         depth = jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale)
     frame = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
+    data = ic.precompute_frame(frame, cfg.alignment)
     pose = pose0 if pose0 is not None else se3.identity(dtype=jnp.float32)
     return SequentialState(
-        kf=frame,
-        last=frame,
+        kf_data=data,
+        last_data=data,
         pose_kf=pose,
         pose_last=pose,
         speed=jnp.zeros(6, jnp.float32),
@@ -143,19 +152,29 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
         rel_pred_last = se3.exp(state.speed * dt)
         pred_pose = se3.compose(rel_pred_last, state.pose_last)
 
+    # the current frame's precompute happens ONCE here; it is reused as
+    # `last_data` next step and becomes `kf_data` for free on a keyframe
+    # switch (kf == cur at switch time)
+    cur_data = ic.precompute_frame(cur, cfg.alignment)
+
     if cfg.include_key_frame:
-        refs = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), state.kf, state.last)
+        ref_data = tuple(
+            jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), kd, ld)
+            for kd, ld in zip(state.kf_data, state.last_data)
+        )
         rel_k = se3.compose(pred_pose, se3.inverse(state.pose_kf))
         rel_l = se3.compose(pred_pose, se3.inverse(state.pose_last))
         rel_init = SE3(jnp.stack([rel_k.R, rel_l.R]), jnp.stack([rel_k.t, rel_l.t]))
         x_pred = jnp.stack([se3.log(rel_k), se3.log(rel_l)])
     else:
-        refs = jax.tree_util.tree_map(lambda a: a[None], state.last)
+        ref_data = tuple(
+            jax.tree_util.tree_map(lambda a: a[None], ld) for ld in state.last_data
+        )
         rel_l = se3.compose(pred_pose, se3.inverse(state.pose_last))
         rel_init = SE3(rel_l.R[None], rel_l.t[None])
         x_pred = se3.log(rel_l)[None]
 
-    rel, cov, ok = ic.align(refs, cur, rel_init, x_pred, cfg.alignment)
+    rel, cov, ok = ic.align(None, cur, rel_init, x_pred, cfg.alignment, ref_data=ref_data)
     pose_ref0 = state.pose_kf if cfg.include_key_frame else state.pose_last
     pose_aligned = se3.orthonormalize(se3.compose(SE3(rel.R[0], rel.t[0]), pose_ref0))
     pose_new = _select_tree(ok, pose_aligned, pred_pose)
@@ -183,8 +202,8 @@ def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cf
     is_kf = (ctr >= cfg.kf_period) | (jnp.linalg.norm(rel_kf.t) > cfg.kf_max_translation)
 
     new_state = SequentialState(
-        kf=_select_tree(is_kf, cur, state.kf),
-        last=cur,
+        kf_data=_select_tree(is_kf, cur_data, state.kf_data),
+        last_data=cur_data,
         pose_kf=_select_tree(is_kf, pose_new, state.pose_kf),
         pose_last=pose_new,
         speed=speed_new,

@@ -19,8 +19,12 @@ __all__ = ["Trajectory"]
 
 class Trajectory:
     def __init__(self, poses: Optional[Dict[int, np.ndarray]] = None):
-        # t_ns -> (pose 4x4 world->cam inverse? we store cam-in-world? No:
-        # poses are stored exactly as appended; semantics chosen by caller.)
+        # t_ns -> pose 4x4, stored exactly as appended. The class itself is
+        # convention-agnostic; throughout this codebase the pipeline appends
+        # WORLD->CAMERA poses (reference Frame::pose convention), and the
+        # TUM writer inverts to camera->world at the file boundary
+        # (eval/evaluate.py). motion_between/interpolation are
+        # convention-covariant, so they are correct either way.
         self._poses: Dict[int, np.ndarray] = dict(poses or {})
         self._covs: Dict[int, np.ndarray] = {}
 

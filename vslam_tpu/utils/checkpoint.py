@@ -7,7 +7,7 @@ snapshot the live state as arrays so a long replay can stop and resume
 without reprocessing.
 
 What is saved (one .npz, no external deps):
-- the fused scan's `SequentialState` (keyframe + last-frame pyramids,
+- the fused scan's `SequentialState` (cached keyframe/last-frame level data,
   pose chain, speed, keyframe counter — every leaf is a device array),
 - the last emitted timestamp (for dt continuity),
 - optionally the landmark map (positions + observation bookkeeping) from
