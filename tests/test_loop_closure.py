@@ -85,6 +85,55 @@ def test_pose_graph_backend_collapses_drift():
     assert err_after < 0.4 * err_before, (err_before, err_after)
 
 
+def test_shortlist_bounds_verification_work(monkeypatch):
+    """Place-recognition scaling: with `max_candidates` set, a query against a
+    large database runs the cheap global-descriptor scan over every entry but
+    the expensive (N, M) descriptor matrix + RANSAC for at most k entries —
+    and still finds the true revisit among distractors."""
+    from vslam_tpu.features import loop_closure as lc
+    from vslam_tpu.features import matcher as match_mod
+
+    rng = np.random.default_rng(11)
+    scene = synthetic.BoxScene(seed=6)
+    db = KeyframeDatabase(
+        LoopClosureConfig(min_gap=0, min_matches=10, min_inliers=8, max_candidates=4)
+    )
+    f0 = _host_frame(np.eye(4), np.eye(4), scene, t_ns=0)
+    f0.id = 0
+    db.add(f0)
+    # distractors: random binary descriptor sets + random geometry (no real
+    # rendering needed — only the shortlist must reject them)
+    for k in range(60):
+        desc = (rng.random((80, 256)) < 0.5).astype(np.float32)
+        pts = rng.uniform(-1, 1, (80, 3)) + [0, 0, 2.0]
+        db._entries.append(
+            lc._Entry(
+                kf_id=100 + k,
+                descriptors=desc,
+                p_cam=pts,
+                gdesc=lc._global_descriptor(desc),
+            )
+        )
+
+    n_full = 0
+    orig = match_mod.descriptor_l1_matrix
+
+    def counted(a, b):
+        nonlocal n_full
+        n_full += 1
+        return orig(a, b)
+
+    monkeypatch.setattr(match_mod, "descriptor_l1_matrix", counted)
+
+    # exact revisit of keyframe 0 (same view; repeatability under viewpoint
+    # change is covered by test_pose_graph_backend_collapses_drift)
+    f1 = _host_frame(np.eye(4), np.eye(4), scene, t_ns=1)
+    f1.id = 999
+    cand = db.query(f1)
+    assert n_full <= 4, f"shortlist leaked: {n_full} full comparisons"
+    assert cand is not None and cand.kf_id == 0, cand
+
+
 def test_database_rejects_unrelated_views():
     """Views of disjoint scene regions must not produce verified loops."""
     scene = synthetic.BoxScene(seed=5)

@@ -39,6 +39,12 @@ class LoopClosureConfig:
     ransac_iterations: int = 100
     inlier_threshold: float = 0.05  # [m]
     max_descriptor_distance: float = 80.0  # L1 bits (of 256)
+    # place-recognition shortlist: the expensive (N, M) descriptor matrix +
+    # geometric verification run only for the `max_candidates` database
+    # entries closest in the cheap global-descriptor space (mean-BRIEF
+    # pooling). 0 disables the shortlist (score every entry, the pre-scaling
+    # behavior).
+    max_candidates: int = 5
 
 
 class LoopCandidate(NamedTuple):
@@ -62,16 +68,25 @@ def estimate_rel_3d3d(
     best_inl = np.zeros(N, bool)
     if N < 3:
         return np.eye(4), best_inl
-    for _ in range(iterations):
-        idx = rng.choice(N, 3, replace=False)
-        try:
-            R, t = align_horn(p_old[idx], p_new[idx])
-        except np.linalg.LinAlgError:
-            continue
-        err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)
-        inl = err < threshold
-        if inl.sum() > best_inl.sum():
-            best_inl = inl
+    # all hypotheses at once: (K, 3) index triples -> batched Horn (one
+    # np.linalg.svd over a (K, 3, 3) stack) -> (K, N) residual matrix. One
+    # BLAS-shaped pass instead of K python-loop SVD calls.
+    idx = np.stack([rng.choice(N, 3, replace=False) for _ in range(iterations)])
+    po = p_old[idx]  # (K, 3, 3)
+    pn = p_new[idx]
+    mu_o = po.mean(axis=1, keepdims=True)
+    mu_n = pn.mean(axis=1, keepdims=True)
+    W = np.einsum("kij,kil->kjl", po - mu_o, pn - mu_n)  # (K, 3, 3)
+    U, _, Vt = np.linalg.svd(W)
+    det = np.linalg.det(np.einsum("kij,kjl->kil", U, Vt))
+    S = np.repeat(np.eye(3)[None], iterations, axis=0)
+    S[:, 2, 2] = np.sign(det) + (det == 0)
+    R_all = np.einsum("kji,kjl,kml->kim", Vt, S, U)  # V S U^T per hypothesis
+    t_all = mu_n[:, 0, :] - np.einsum("kij,kj->ki", R_all, mu_o[:, 0, :])
+    pred = np.einsum("kij,nj->kni", R_all, p_old) + t_all[:, None, :]
+    err = np.linalg.norm(pred - p_new[None], axis=2)  # (K, N)
+    inl_all = err < threshold
+    best_inl = inl_all[np.argmax(inl_all.sum(axis=1))]
     if best_inl.sum() >= 3:
         R, t = align_horn(p_old[best_inl], p_new[best_inl])
         err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)
@@ -89,6 +104,15 @@ class _Entry:
     kf_id: int
     descriptors: np.ndarray  # (N, 256)
     p_cam: np.ndarray  # (N, 3) camera-frame 3D points (z<=0 where no depth)
+    gdesc: np.ndarray  # (256,) global descriptor: mean BRIEF bit vector
+
+
+def _global_descriptor(descriptors: np.ndarray) -> np.ndarray:
+    """Mean-pooled BRIEF bit vector: each of the 256 binary tests becomes the
+    fraction of keypoints for which it fired. Viewpoint- and count-invariant
+    enough to rank places; two sets from the same scene share test statistics
+    while different scenes decorrelate (a bag-of-bits image signature)."""
+    return np.asarray(descriptors, np.float32).mean(axis=0)
 
 
 class KeyframeDatabase:
@@ -121,11 +145,13 @@ class KeyframeDatabase:
         """Register a keyframe (HostFrame with extracted features)."""
         if frame.keypoints is None or len(frame.keypoints) == 0:
             return
+        desc = np.asarray(frame.descriptors, np.float32)
         self._entries.append(
             _Entry(
                 kf_id=frame.id,
-                descriptors=np.asarray(frame.descriptors, np.float32),
+                descriptors=desc,
                 p_cam=self._points_cam(frame),
+                gdesc=_global_descriptor(desc),
             )
         )
 
@@ -139,6 +165,16 @@ class KeyframeDatabase:
         candidates = candidates[: len(candidates) - cfg.min_gap] if len(candidates) > cfg.min_gap else []
         if not candidates:
             return None
+        if cfg.max_candidates > 0 and len(candidates) > cfg.max_candidates:
+            # shortlist by global descriptor: one (C, 256) L1 scan replaces C
+            # full (N, M) descriptor matrices + RANSAC passes — query cost
+            # becomes O(C·256) + O(k) verifications, k fixed, so the per-query
+            # work is flat in database size (sub-linear in total matching work)
+            gq = _global_descriptor(np.asarray(frame.descriptors, np.float32))
+            G = np.stack([e.gdesc for e in candidates])
+            score = np.abs(G - gq[None]).sum(axis=1)
+            keep = np.argsort(score)[: cfg.max_candidates]
+            candidates = [candidates[i] for i in keep]
         desc_q = jnp.asarray(frame.descriptors, jnp.float32)
         p_new_all = self._points_cam(frame)
 
