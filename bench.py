@@ -145,6 +145,14 @@ def main():
     if os.environ.get("BENCH_ODOMETRY", "1") != "0":
         odometry_fps = bench_odometry_fps()
 
+    slam = None
+    if os.environ.get("BENCH_SLAM", "1") != "0":
+        slam = bench_slam()
+
+    kitti = None
+    if os.environ.get("BENCH_KITTI", "1") != "0":
+        kitti = bench_kitti()
+
     result = {
         "metric": "aligned frame-pairs/sec/chip (480x640, 3 levels, GN<=100)",
         "value": round(pairs_per_sec, 2),
@@ -157,6 +165,10 @@ def main():
         # reference replays in real time at 30 Hz (NodeReplayer.cpp:116-118)
         result["odometry_fps"] = round(odometry_fps, 2)
         result["odometry_fps_vs_realtime_30hz"] = round(odometry_fps / 30.0, 3)
+    if slam is not None:
+        result.update(slam)
+    if kitti is not None:
+        result.update(kitti)
     print(json.dumps(result))
 
 
@@ -236,6 +248,186 @@ def bench_odometry_fps():
     results = run()
     elapsed = time.perf_counter() - t0
     return N / elapsed
+
+
+def bench_slam():
+    """Full-SLAM mode at TUM geometry: the fused scan front end plus the
+    chunk mapping backend (feature tracks, windowed bundle adjustment,
+    device-state write-back — the NodeMapping.cpp:142-180 path).
+
+    The synthetic sequence carries sensor-like noise (quadratic depth noise +
+    intensity shot noise) so direct odometry drifts and the backend has real
+    error to correct; the gate reports mapping-mode fps, its ATE, and the
+    mapping-off ATE on the SAME noisy stream for the improvement ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.eval import metrics
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W, FX = 480, 640, 525.0
+    N = int(os.environ.get("BENCH_SLAM_FRAMES", "64"))
+    CHUNK = int(os.environ.get("BENCH_SLAM_CHUNK", "16"))
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N, trans_amp=0.10, rot_amp=0.04)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    rng = np.random.default_rng(7)
+    dt_ns = int(1e9 / 30)
+    stream = []
+    for i, p in enumerate(poses):
+        inten, depth = synthetic.render(K, p, (H, W))
+        # TUM-like sensor noise: sigma_z ~ 0.0012 + 0.0019 (z-0.4)^2 m
+        # (Khoshelham & Elberink 2012), shot noise ~1.5 gray levels
+        z = np.maximum(depth, 0.0)
+        depth_n = z + rng.normal(0.0, 1.0, z.shape) * (0.0012 + 0.0019 * (z - 0.4) ** 2)
+        inten_n = inten + rng.normal(0.0, 1.5, inten.shape)
+        stream.append(
+            (
+                i * dt_ns,
+                np.clip(np.round(inten_n), 0, 255).astype(np.uint8),
+                np.clip(np.round(depth_n * 5000.0), 0, 65535).astype(np.uint16),
+            )
+        )
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=30.0,
+            solver=SolverConfig(
+                max_iterations=100, min_step_size=1e-11, min_relative_reduction=1e-4
+            ),
+            include_prior=True,
+            interpolation="bilinear",
+            sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+            image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
+            max_points=int(os.environ.get("BENCH_POINTS", "2048")),
+        ),
+        depth_scale=1.0 / 5000.0,
+        n_levels=3,
+        kf_period=5,
+    )
+    camera = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    gt = {i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+
+    def run(mapping):
+        odo = SequentialOdometry(camera, cfg, chunk=CHUNK, mapping=mapping)
+        results = odo.run(iter(stream))
+        est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+        ate, _ = metrics.ate_rmse(gt, est)
+        return results, float(ate)
+
+    _, ate_odo = run(None)  # mapping-off baseline (also compiles the scan)
+    _, ate_slam = run(ChunkMappingBackend(enable_ba=True))  # backend warmup
+    t0 = time.perf_counter()
+    _, ate_slam = run(ChunkMappingBackend(enable_ba=True))
+    elapsed = time.perf_counter() - t0
+    slam_fps = N / elapsed
+    print(
+        f"slam gate: fps {slam_fps:.1f}, ATE {ate_slam:.5f} m "
+        f"(mapping-off {ate_odo:.5f} m) over {N} noisy frames",
+        file=sys.stderr,
+    )
+    return {
+        "slam_fps": round(slam_fps, 2),
+        "slam_ate_m": round(ate_slam, 5),
+        "odometry_ate_m": round(ate_odo, 5),
+        "slam_fps_vs_realtime_30hz": round(slam_fps / 30.0, 3),
+    }
+
+
+def bench_kitti():
+    """KITTI-geometry stereo tracking: 1241x376 rectified pairs streamed as
+    uint8 (left, right), block-matching depth computed ON DEVICE inside the
+    fused scan step (SequentialConfig.stereo_baseline — io/kitti.py), then
+    the in-kernel GN alignment. Reports frames/sec at real KITTI intrinsics
+    (seq 00: fx=718.856, b=0.5372 m, 10 Hz sensor), with an ATE gate on the
+    exact-geometry synthetic street scene (BASELINE.json config #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.eval import metrics
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W = 376, 1241
+    FX, FY, CX, CY, BASE = 718.856, 718.856, 607.1928, 185.2157, 0.5372
+    N = int(os.environ.get("BENCH_KITTI_FRAMES", "32"))
+    CHUNK = int(os.environ.get("BENCH_KITTI_CHUNK", "16"))
+    K = synthetic.camera_matrix(FX, FY, CX, CY)
+    # KITTI-00 moves ~0.8-1.3 m/frame at 10 Hz; a slanted ground-like plane
+    # ahead of the camera gives closed-form stereo geometry at street depths
+    scene = synthetic.PlaneScene(normal=(0.0, -0.25, 1.0), d=12.0, n_waves=12)
+    poses = synthetic.smooth_trajectory(N, trans_amp=0.4, rot_amp=0.01)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    dt_ns = int(1e9 / 10)
+    right_off = np.eye(4)
+    right_off[:3, 3] = [-BASE, 0.0, 0.0]
+    stream = []
+    for i, p in enumerate(poses):
+        il, _ = synthetic.render(K, p, (H, W), scene)
+        ir, _ = synthetic.render(K, right_off @ p, (H, W), scene)
+        stream.append(
+            (
+                i * dt_ns,
+                np.clip(np.round(il), 0, 255).astype(np.uint8),
+                np.clip(np.round(ir), 0, 255).astype(np.uint8),
+            )
+        )
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=20.0,
+            solver=SolverConfig(
+                max_iterations=100, min_step_size=1e-11, min_relative_reduction=1e-4
+            ),
+            include_prior=True,
+            interpolation="bilinear",
+            sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+            image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
+            max_points=int(os.environ.get("BENCH_POINTS", "2048")),
+        ),
+        n_levels=4,  # KITTI's large inter-frame motion needs a deeper pyramid
+        kf_period=5,
+        stereo_baseline=BASE,
+        stereo_max_disparity=96,
+    )
+    camera = Camera.create(FX, FY, CX, CY)
+
+    def run():
+        odo = SequentialOdometry(camera, cfg, chunk=CHUNK)
+        return odo.run(iter(stream))
+
+    results = run()  # compile + warmup
+    gt = {i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+    est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+    ate, _ = metrics.ate_rmse(gt, est, max_difference=0.05)
+    # budget: stereo-quantized depth at street range (z ~ 12 m -> dz/z ~
+    # 0.25%/0.25px) bounds direct-alignment ATE well above the RGB-D gate
+    print(f"kitti gate: ATE {ate:.4f} m over {N} frames at {W}x{H} "
+          f"(budget 0.25)", file=sys.stderr)
+    if ate > 0.25:
+        return {"kitti_fps": 0.0, "kitti_ate_m": round(float(ate), 4)}
+
+    t0 = time.perf_counter()
+    run()
+    elapsed = time.perf_counter() - t0
+    fps = N / elapsed
+    return {
+        "kitti_fps": round(fps, 2),
+        "kitti_ate_m": round(float(ate), 4),
+        "kitti_fps_vs_realtime_10hz": round(fps / 10.0, 3),
+    }
 
 
 if __name__ == "__main__":

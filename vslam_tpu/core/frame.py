@@ -91,7 +91,10 @@ def create_frame(
         intensities.append(img_ops.pyr_down(intensities[-1]))
         d_prev = depths[-1]
         d_blur = img_ops.median_blur_3x3_masked(d_prev, d_prev <= 0.0)
-        depths.append(img_ops.resize_bilinear(d_blur, 0.5))
+        # decimate on pyrDown's grid (even indices -> ceil(n/2) per dim) so
+        # depth levels share the intensity levels' shape for ODD sizes too
+        # (KITTI 1241x376); identical to resize_bilinear(., 0.5) on even dims
+        depths.append(d_blur[::2, ::2])
         cams.append(cam_mod.scale(camera, 0.5**lvl))
 
     dIx = []
