@@ -73,27 +73,30 @@ def block_matching_disparity(
     delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c_m - c_p) / jnp.maximum(denom, 1e-6), 0.0)
     disp = d_best.astype(dtype) + jnp.clip(delta, -0.5, 0.5)
 
-    # uniqueness: best cost must beat the runner-up (outside +-1) clearly
-    cv_masked = cv
-    for dd in (-1, 0, 1):
-        idx = jnp.clip(d_best + dd, 0, max_disparity - 1)
-        cv_masked = jnp.where(
-            jax.nn.one_hot(idx, max_disparity, dtype=bool), big, cv_masked
-        )
-    c_second = jnp.min(cv_masked, axis=-1)
+    # uniqueness: best cost must beat the runner-up (outside +-1) clearly —
+    # one broadcast exclusion mask (|d - d_best| <= 1), single pass over cv
+    dgrid = jnp.arange(max_disparity)[None, None, :]
+    excl = jnp.abs(dgrid - d_best[..., None]) <= 1
+    c_second = jnp.min(jnp.where(excl, big, cv), axis=-1)
     unique = c_best <= uniqueness * c_second
 
     valid = (d_best > 0) & (d_best < max_disparity - 1) & unique & (c_best < big)
 
     if lr_check:
-        # right-image disparity via the same volume trick, then L-R gate
+        # right-image cost volume is a per-slice shift of the left one:
+        #   cost_r(x, d) = box(|R(x) - L(x+d)|) = cost_l(x+d, d)
+        # (substitute y = x+d inside the box window), so the L-R gate reuses
+        # `costs` instead of filtering another D slices. Only within
+        # block//2 of the image border does reflect padding break the
+        # identity — absorbed by the +-1 gate tolerance.
         costs_r = []
         for d in range(max_disparity):
-            shifted = jnp.pad(left, ((0, 0), (0, d)))[:, d : W + d] if d > 0 else left
-            c = box(jnp.abs(right - shifted))
             if d > 0:
-                xx = jnp.arange(W)[None, :]
-                c = jnp.where(xx < W - d, c, big)
+                c = jnp.concatenate(
+                    [costs[d][:, d:], jnp.full((H, d), big, dtype)], axis=1
+                )
+            else:
+                c = costs[d]
             costs_r.append(c)
         cv_r = jnp.stack(costs_r, axis=-1)
         d_right = jnp.argmin(cv_r, axis=-1)
