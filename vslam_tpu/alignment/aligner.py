@@ -87,6 +87,65 @@ def _align_cached_jit(ref_datas, cur_frame: Frame, rel_init: SE3, x_pred, cfg: A
     return ic.align(None, cur_frame, rel_init, x_pred, cfg, ref_data=ref_data)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_levels", "depth_scale"))
+def _build_align_jit(
+    intensity, depth, camera, ref_datas, rel_init: SE3, x_pred, cfg: AlignmentConfig,
+    n_levels: int, depth_scale: float = 1.0,
+):
+    """Frame build + alignment precompute + cached-reference alignment fused
+    into ONE device dispatch — the host parity pipeline's entire per-frame
+    device program (the reference runs pyramid build and the solve inside one
+    subscriber callback, NodeRgbdAlignment.cpp:121-149; here that callback is
+    one XLA executable, so the per-frame cost is one dispatch + one fetch
+    instead of three round trips).
+
+    Accepts frames in their NATIVE sensor dtype (uint8 intensity, uint16
+    depth counts with ``depth_scale`` metres/count — what the reference's
+    cv::IMREAD_GRAYSCALE / TUM depth PNGs actually carry): the f32 conversion
+    happens on device, so the host->device link moves 4x less data (it is
+    the parity pipeline's bottleneck on a remote-attached chip)."""
+    from ..core.frame import create_frame as _create_frame
+
+    if jnp.issubdtype(intensity.dtype, jnp.integer):
+        intensity = intensity.astype(jnp.float32)
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        depth = depth.astype(jnp.float32) * jnp.float32(depth_scale)
+    frame = _create_frame(intensity, depth, camera, n_levels=n_levels)
+    level_data = ic.precompute_frame(frame, cfg)
+    ref_data = tuple(
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *(d[lvl] for d in ref_datas))
+        for lvl in range(n_levels)
+    )
+    rel_out, cov, valid = ic.align(None, frame, rel_init, x_pred, cfg, ref_data=ref_data)
+    return frame, level_data, rel_out, cov, valid
+
+
+def _prep_init(ref_poses, pred_pose, dtype):
+    """Host f64 -> device f32 conversion of the per-reference initial
+    relative transforms and prior means (SE3Alignment.cpp:112-118)."""
+    rels = [lie_np.relative(p, pred_pose) for p in ref_poses]
+    rel_init = SE3(
+        jnp.asarray(np.stack([r[:3, :3] for r in rels]), dtype),
+        jnp.asarray(np.stack([r[:3, 3] for r in rels]), dtype),
+    )
+    x_pred = jnp.asarray(np.stack([lie_np.log(r) for r in rels]), dtype)
+    return rel_init, x_pred
+
+
+def _finish(rel_out: SE3, cov, valid, ref_pose0: np.ndarray):
+    """One fetch for everything the host needs, then f64 re-orthonormalized
+    composition into the absolute pose chain (SE3Alignment.cpp:142-143)."""
+    R0, t0, cov, ok = jax.device_get((rel_out.R[0], rel_out.t[0], cov, valid))
+    ok = bool(ok)
+    rel0 = np.eye(4)
+    rel0[:3, :3] = np.asarray(R0, np.float64)
+    rel0[:3, 3] = np.asarray(t0, np.float64)
+    u, _, vt = np.linalg.svd(rel0[:3, :3])
+    rel0[:3, :3] = u @ vt
+    pose = rel0 @ ref_pose0
+    return pose, np.asarray(cov, np.float64), ok
+
+
 class RgbdAligner:
     def __init__(self, cfg: AlignmentConfig = AlignmentConfig()):
         self.cfg = cfg
@@ -112,14 +171,7 @@ class RgbdAligner:
         """
         # dtype read off the aval — np.asarray here would D2H the whole image
         dtype = np.dtype(cur_frame.intensity[0].dtype)
-        rels = [lie_np.relative(p, pred_pose) for p in ref_poses]
-        rel_init = SE3(
-            jnp.asarray(np.stack([r[:3, :3] for r in rels]), dtype),
-            jnp.asarray(np.stack([r[:3, 3] for r in rels]), dtype),
-        )
-        x_pred = jnp.asarray(
-            np.stack([lie_np.log(r) for r in rels]), dtype
-        )
+        rel_init, x_pred = _prep_init(ref_poses, pred_pose, dtype)
         plt_sink = log_plt("SolverGN")
         img_sinks = [log_img(n) for n in ("ImageWarped", "Residual", "Weights")]
         if any(s.enabled for s in img_sinks):
@@ -154,17 +206,43 @@ class RgbdAligner:
                 stack_frames(ref_frames), cur_frame, rel_init, x_pred, self.cfg
             )
 
-        # one fetch for everything the host needs
-        R0, t0, cov, ok = jax.device_get((rel_out.R[0], rel_out.t[0], cov, valid))
-        ok = bool(ok)
-        rel0 = np.eye(4)
-        rel0[:3, :3] = np.asarray(R0, np.float64)
-        rel0[:3, 3] = np.asarray(t0, np.float64)
-        # re-orthonormalize in f64 before composing into the absolute chain
-        u, _, vt = np.linalg.svd(rel0[:3, :3])
-        rel0[:3, :3] = u @ vt
-        pose = rel0 @ ref_poses[0]
-        return pose, np.asarray(cov, np.float64), ok
+        return _finish(rel_out, cov, valid, ref_poses[0])
+
+    def align_build(
+        self,
+        intensity: np.ndarray,
+        depth: np.ndarray,
+        camera,
+        n_levels: int,
+        ref_datas: Sequence,  # per-frame ic.precompute_frame tuples (device)
+        ref_poses: Sequence[np.ndarray],
+        pred_pose: np.ndarray,
+        depth_scale: float = 1.0,
+    ):
+        """Fused per-frame step: pyramid build + precompute + alignment in ONE
+        device dispatch, followed by ONE scalar fetch — the parity pipeline's
+        whole per-frame device interaction (vs build dispatch + align dispatch
+        + fetch on the :meth:`align` path). Visual-log sinks are not serviced
+        here; the pipeline falls back to :meth:`align` when any is enabled.
+
+        Returns (device_frame, level_data, pose 4x4 f64, cov 6x6 f64, ok).
+        """
+        rel_init, x_pred = _prep_init(ref_poses, pred_pose, np.dtype(np.float32))
+        # dtype-preserving staging: uint8/uint16 frames cross the link raw
+        # and convert on device (see _build_align_jit); f32 stays f32
+        frame, level_data, rel_out, cov, valid = _build_align_jit(
+            jnp.asarray(intensity),
+            jnp.asarray(depth),
+            camera,
+            tuple(ref_datas),
+            rel_init,
+            x_pred,
+            self.cfg,
+            n_levels,
+            depth_scale,
+        )
+        pose, cov, ok = _finish(rel_out, cov, valid, ref_poses[0])
+        return frame, level_data, pose, cov, ok
 
     def _emit_iteration_logs(self, ref_stack, cur_frame, diag, sinks) -> None:
         """Replay each evaluated GN iteration into the enabled LOG_IMG sinks

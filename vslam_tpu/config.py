@@ -53,6 +53,11 @@ class PipelineConfig:
     include_prior: bool = True
     # TPU-specific knobs (no reference equivalent)
     interpolation: str = "bilinear"  # bilinear (default) | nearest (reference parity)
+    # device-side depth conversion for native-dtype transport: when the
+    # stream yields integer depth (e.g. TUM uint16 PNG counts), metres =
+    # raw * depth_scale, converted ON DEVICE so the host->device link moves
+    # the sensor's 16-bit counts, not f32 (mirrors SequentialConfig)
+    depth_scale: float = 1.0 / 5000.0
     # interest-point budget per frame at the finest level: 0 / 32768 = all
     # points (reference-parity dense selection); the production tracking
     # profile uses 2048 (accuracy saturates, see bench.py's gate)

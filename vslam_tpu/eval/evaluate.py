@@ -66,15 +66,22 @@ def _cmd_odometry(args) -> int:
                 cfg, sampler="fused_gn", image_dtype="bfloat16", features_max_points=2048
             )
         stereo_baseline = 0.0
+        depth_scale = 1.0
         stream = iter(ds)
         if args.format == "kitti":
             # fused KITTI: raw u8 stereo pair in, block-matching depth
             # computed on device inside the scan step
             stereo_baseline = ds.baseline
             stream = ds.iter_stereo()
+        else:
+            # native u8/u16 transport: the device converts (depth_scale);
+            # the host->device link moves the sensor's own bit depth
+            stream = ds.iter_raw()
+            depth_scale = tum.DEPTH_SCALE
         seq_cfg = SequentialConfig(
             alignment=cfg.alignment_config(),
             stereo_baseline=stereo_baseline,
+            depth_scale=depth_scale,
             prediction_model=cfg.prediction_model,
             n_levels=cfg.pyramid_levels,
             kf_period=cfg.keyframe_selection_idx_period,
@@ -99,10 +106,15 @@ def _cmd_odometry(args) -> int:
         covs = {t / 1e9: c for t, _, c in results}
         pipeline = None
     else:
+        from ..odometry.pipeline import device_prefetch
+
         pipeline = OdometryPipeline(camera, cfg)
+        # native u8/u16 transport + one-frame device prefetch: the transfer
+        # of frame i+1 overlaps the solve of frame i
+        frame_iter = ds.iter_raw() if args.format == "tum" else iter(ds)
         t0 = time.perf_counter()
         n = 0
-        for t_ns, intensity, depth in ds:
+        for t_ns, intensity, depth in device_prefetch(frame_iter):
             pipeline.process_frame(t_ns, intensity, depth)
             n += 1
             if n % 50 == 0:

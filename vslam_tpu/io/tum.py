@@ -215,3 +215,20 @@ class TumDataset:
                 rgb = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
             d = _load_png(os.path.join(self.root, f_depth)).astype(np.float32) * DEPTH_SCALE
             yield int(t * 1e9), rgb, d
+
+    def iter_raw(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        """Frames in their native sensor dtypes: (t_ns, uint8 gray, uint16
+        depth counts — metres = counts * DEPTH_SCALE). The device converts;
+        the host->device link moves 4x less than the f32 stream (see
+        PipelineConfig.depth_scale / SequentialConfig.depth_scale). Grayscale
+        uses the same Rec.601 weights as cv::IMREAD_GRAYSCALE, rounded to u8."""
+        from PIL import Image
+
+        for t, f_rgb, f_depth in self.pairs:
+            rgb = np.asarray(Image.open(os.path.join(self.root, f_rgb)))
+            if rgb.ndim == 3:
+                rgb = np.round(
+                    rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+                )
+            d = np.asarray(Image.open(os.path.join(self.root, f_depth)))
+            yield int(t * 1e9), rgb.astype(np.uint8), d.astype(np.uint16)

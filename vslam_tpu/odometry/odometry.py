@@ -50,21 +50,46 @@ class OdometryRgbd:
     def speed(self) -> np.ndarray:
         return self._speed
 
-    def update(self, frame: HostFrame) -> None:
+    def select_refs(self):
+        """Reference-frame selection for the incoming frame: {last keyframe,
+        last frame} jointly by default (Odometry.cpp:31-62). Returns
+        (last_frame_or_None, ref_hosts) so the caller can run the alignment
+        itself (the pipeline's fused build+align step) or fall through to
+        :meth:`update`."""
         last = self._map.last_frame()
+        if last is None:
+            return None, []
+        kf = self._map.last_kf()
+        if self._include_key_frame and kf is not None and kf is not last:
+            return last, [kf, last]
+        if self._track_key_frame and kf is not None:
+            return last, [kf]
+        return last, [last]
+
+    def commit(self, frame: HostFrame, pose, cov, ok: bool, last: Optional[HostFrame]) -> None:
+        """Fold an alignment result into the odometry state: accept pose+cov
+        and derive the speed twist, or keep the motion-predicted pose on
+        failure (Odometry.cpp:52-56 catches the solver's exception; here the
+        aligner returned ok=False)."""
         if last is None:
             # first frame initializes at its (predicted/initial) pose
             self._pose = frame.pose.copy()
             self._speed = np.zeros(6)
             return
-
-        kf = self._map.last_kf()
-        if self._include_key_frame and kf is not None and kf is not last:
-            ref_hosts = [kf, last]
-        elif self._track_key_frame and kf is not None:
-            ref_hosts = [kf]
+        if ok:
+            self._pose, self._cov = pose, cov
+            dt = (frame.t_ns - last.t_ns) / _NS
+            if dt > 0:
+                self._speed = lie_np.log(lie_np.relative(last.pose, pose)) / dt
         else:
-            ref_hosts = [last]
+            self._pose = frame.pose.copy()
+            self._speed = np.zeros(6)
+
+    def update(self, frame: HostFrame) -> None:
+        last, ref_hosts = self.select_refs()
+        if last is None:
+            self.commit(frame, None, None, False, None)
+            return
         refs = [h.frame for h in ref_hosts]
         ref_poses = [h.pose for h in ref_hosts]
         # cached per-frame precompute (filled at frame build): skips the
@@ -74,16 +99,7 @@ class OdometryRgbd:
         pose, cov, ok = self._aligner.align(
             refs, ref_poses, frame.frame, frame.pose, ref_data=ref_data
         )
-        if ok:
-            self._pose, self._cov = pose, cov
-            dt = (frame.t_ns - last.t_ns) / _NS
-            if dt > 0:
-                self._speed = lie_np.log(lie_np.relative(last.pose, pose)) / dt
-        else:
-            # alignment failure -> keep the motion-predicted pose
-            # (Odometry.cpp:52-56)
-            self._pose = frame.pose.copy()
-            self._speed = np.zeros(6)
+        self.commit(frame, pose, cov, ok, last)
 
 
 class OdometryIcp:

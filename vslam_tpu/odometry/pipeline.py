@@ -33,7 +33,7 @@ from .motion_model import make_motion_prediction
 from .odometry import OdometryRgbd
 from .trajectory import Trajectory
 
-__all__ = ["OdometryPipeline"]
+__all__ = ["OdometryPipeline", "device_prefetch"]
 
 
 class OdometryPipeline:
@@ -72,6 +72,11 @@ class OdometryPipeline:
             # whenever this frame serves as an alignment reference.
             from ..alignment import ic as _ic
 
+            # native-dtype transport: u8/u16 frames convert on device
+            if jnp.issubdtype(intensity.dtype, jnp.integer):
+                intensity = intensity.astype(jnp.float32)
+            if jnp.issubdtype(depth.dtype, jnp.integer):
+                depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
             frame = create_frame(intensity, depth, camera, n_levels=cfg.pyramid_levels)
             return frame, _ic.precompute_frame(frame, align_cfg)
 
@@ -105,23 +110,52 @@ class OdometryPipeline:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (pose world->cam 4x4, cov 6x6) for this frame."""
         t0 = time.perf_counter()
-        with timer.scope("pipeline.create_frame"):
-            # one jitted dispatch: unjitted, the ~30 pyramid/Sobel ops each
-            # pay a device-dispatch round trip (~100 ms/frame on a
-            # remote-attached chip vs ~4 ms fused)
-            device_frame, level_data = self._create_frame_jit(
-                jnp.asarray(intensity, jnp.float32),
-                jnp.asarray(depth, jnp.float32),
-                self.camera,
-            )
         with timer.scope("pipeline.predict"):
             pred = self.prediction.predict(t_ns)
-        frame = HostFrame(
-            frame=device_frame, t_ns=int(t_ns), pose=pred, level_data=level_data
-        )
 
-        with timer.scope("pipeline.align"):
-            self.odometry.update(frame)
+        last, ref_hosts = self.odometry.select_refs()
+        sinks_on = any(
+            log_img(n).enabled for n in ("ImageWarped", "Residual", "Weights")
+        ) or log_plt("SolverGN").enabled
+        if (
+            last is not None
+            and not sinks_on
+            and all(h.level_data is not None for h in ref_hosts)
+        ):
+            # hot path: build + precompute + align as ONE dispatch + ONE fetch
+            # (the whole NodeRgbdAlignment callback as a single XLA program)
+            with timer.scope("pipeline.step"):
+                device_frame, level_data, pose, cov, ok = self.aligner.align_build(
+                    intensity,
+                    depth,
+                    self.camera,
+                    self.cfg.pyramid_levels,
+                    [h.level_data for h in ref_hosts],
+                    [h.pose for h in ref_hosts],
+                    pred,
+                    depth_scale=self.cfg.depth_scale,
+                )
+            frame = HostFrame(
+                frame=device_frame, t_ns=int(t_ns), pose=pred, level_data=level_data
+            )
+            self.odometry.commit(frame, pose, cov, ok, last)
+        else:
+            # first frame / visual-log sinks enabled: separate build and
+            # align dispatches (the align services the per-iteration sinks)
+            with timer.scope("pipeline.create_frame"):
+                # one jitted dispatch: unjitted, the ~30 pyramid/Sobel ops
+                # each pay a device-dispatch round trip (~100 ms/frame on a
+                # remote-attached chip vs ~4 ms fused)
+                device_frame, level_data = self._create_frame_jit(
+                    jnp.asarray(intensity),
+                    jnp.asarray(depth),
+                    self.camera,
+                )
+            frame = HostFrame(
+                frame=device_frame, t_ns=int(t_ns), pose=pred, level_data=level_data
+            )
+            with timer.scope("pipeline.align"):
+                self.odometry.update(frame)
         frame.pose = self.odometry.pose
         frame.cov = self.odometry.cov
 
@@ -198,6 +232,28 @@ class OdometryPipeline:
         return True
 
     def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]) -> Trajectory:
-        for t_ns, intensity, depth in stream:
+        for t_ns, intensity, depth in device_prefetch(stream):
             self.process_frame(t_ns, intensity, depth)
         return self.trajectory
+
+
+def device_prefetch(
+    stream: Iterable[Tuple[int, np.ndarray, np.ndarray]], depth: int = 1
+) -> Iterable[Tuple[int, jnp.ndarray, jnp.ndarray]]:
+    """Stage frames on device one step ahead of the consumer.
+
+    `jax.device_put` is asynchronous, so frame i+1 crosses the host->device
+    link while the pipeline is still solving frame i — the transfer leaves
+    the per-frame critical path (it is the dominant per-frame cost on a
+    remote-attached chip). The NodeReplayer/Queue pairing of the reference
+    keeps its lock-step semantics: frames are still consumed strictly in
+    order, just staged early."""
+    import collections
+
+    buf = collections.deque()
+    for t_ns, intensity, depth_img in stream:
+        buf.append((t_ns, jax.device_put(intensity), jax.device_put(depth_img)))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
