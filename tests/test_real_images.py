@@ -292,8 +292,8 @@ def test_tracking_select_candidates_real_pair(rgbd_pair):
     tr = FeatureTracking()
     tr.extract(f0)
     tr.extract(f1)
-    cand = tr.select_candidates(f1, [f0], Map())
-    assert len(cand) == len(f0.keypoints)
+    groups = tr.select_candidates(f1, [f0], Map())
+    assert sum(len(idxs) for _, idxs in groups) == len(f0.keypoints)
 
 
 def test_tracking_match_and_triangulate_real_pair(rgbd_pair):

@@ -301,10 +301,15 @@ class BundleAdjustment:
             problem, max_iterations=self.max_iterations
         )
 
-        # poses_out is in `order` space; map back to kf order
+        # poses_out is in `order` space; map back to kf order.
+        # ONE device fetch for everything (five separate np.asarray/float
+        # calls would each pay a host<->device round trip)
+        R_all, t_all, pts_all, err0, err1 = jax.device_get(
+            (poses_out.R, poses_out.t, points_out, err0, err1)
+        )
         pose_updates: Dict[int, np.ndarray] = {}
-        R_all = np.asarray(poses_out.R, np.float64)
-        t_all = np.asarray(poses_out.t, np.float64)
+        R_all = np.asarray(R_all, np.float64)
+        t_all = np.asarray(t_all, np.float64)
         for i, fid in enumerate(kf_ids):
             slot = int(inv_order[i])
             T = np.eye(4)
@@ -312,6 +317,6 @@ class BundleAdjustment:
             T[:3, :3] = u @ vt
             T[:3, 3] = t_all[slot]
             pose_updates[fid] = T
-        pts_all = np.asarray(points_out, np.float64)
+        pts_all = np.asarray(pts_all, np.float64)
         point_updates = {pid: pts_all[m] for pid, m in pt_index.items()}
         return pose_updates, point_updates, float(err0), float(err1)

@@ -26,14 +26,46 @@ __all__ = [
     "brief_pattern",
     "keypoint_orientations",
     "extract_descriptors",
+    "pack_bits",
+    "unpack_bits",
+    "as_float_bits",
     "N_BITS",
+    "N_BYTES",
     "PATCH",
     "ORI_RADIUS",
 ]
 
 N_BITS = 256
+N_BYTES = N_BITS // 8  # packed transport width (cv::ORB's own 32-byte rows)
 PATCH = 24  # half-size of the sampling window
 ORI_RADIUS = 15  # intensity-centroid radius (ORB uses a 31x31 patch)
+
+
+def pack_bits(desc: jax.Array) -> jax.Array:
+    """(N, 256) float/bool bit vectors -> (N, 32) uint8, MSB-first per byte
+    (np.unpackbits order). Descriptors cross the host<->device link packed —
+    32x fewer bytes; the reference's cv::Mat descriptors are byte-packed for
+    the same reason (FeatureTracking.cpp:121-135)."""
+    bits = (desc > 0.5).astype(jnp.uint8).reshape(desc.shape[0], N_BYTES, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+def unpack_bits(packed: jax.Array) -> jax.Array:
+    """(N, 32) uint8 -> (N, 256) float32 of {0, 1} (inverse of pack_bits);
+    jit-safe, used inside matchers so the MXU L1 matmul sees bit vectors."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], N_BITS).astype(jnp.float32)
+
+
+def as_float_bits(desc: np.ndarray) -> np.ndarray:
+    """Host-side normalization to (N, 256) f32 bit vectors from either
+    representation: packed (N, 32) uint8 or already-unpacked 0/1 floats."""
+    desc = np.asarray(desc)
+    if desc.dtype == np.uint8 and desc.shape[-1] == N_BYTES:
+        return np.unpackbits(desc, axis=-1).astype(np.float32)
+    return desc.astype(np.float32)
 
 
 def brief_pattern(seed: int = 1234) -> np.ndarray:

@@ -22,10 +22,12 @@ from __future__ import annotations
 import dataclasses
 from typing import List, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..eval.metrics import align_horn
+from . import descriptor as desc_mod
 from . import matcher as match_mod
 
 __all__ = ["LoopClosureConfig", "LoopCandidate", "KeyframeDatabase", "estimate_rel_3d3d"]
@@ -128,9 +130,9 @@ class KeyframeDatabase:
     @staticmethod
     def _points_cam(frame) -> np.ndarray:
         """(N, 3) camera-frame points from keypoints + depth (z=-1 invalid)."""
-        cam = frame.frame.cameras[0]
-        fx, fy = float(cam.fx), float(cam.fy)
-        cx, cy = float(cam.cx), float(cam.cy)
+        from .tracking import _cam_floats
+
+        fx, fy, cx, cy = _cam_floats(frame.frame.cameras[0])
         uv = np.asarray(frame.keypoints, np.float64)
         z = np.asarray(frame.kp_depth, np.float64)
         ok = z > 0
@@ -145,7 +147,7 @@ class KeyframeDatabase:
         """Register a keyframe (HostFrame with extracted features)."""
         if frame.keypoints is None or len(frame.keypoints) == 0:
             return
-        desc = np.asarray(frame.descriptors, np.float32)
+        desc = desc_mod.as_float_bits(frame.descriptors)
         self._entries.append(
             _Entry(
                 kf_id=frame.id,
@@ -170,12 +172,12 @@ class KeyframeDatabase:
             # full (N, M) descriptor matrices + RANSAC passes — query cost
             # becomes O(C·256) + O(k) verifications, k fixed, so the per-query
             # work is flat in database size (sub-linear in total matching work)
-            gq = _global_descriptor(np.asarray(frame.descriptors, np.float32))
+            gq = _global_descriptor(desc_mod.as_float_bits(frame.descriptors))
             G = np.stack([e.gdesc for e in candidates])
             score = np.abs(G - gq[None]).sum(axis=1)
             keep = np.argsort(score)[: cfg.max_candidates]
             candidates = [candidates[i] for i in keep]
-        desc_q = jnp.asarray(frame.descriptors, jnp.float32)
+        desc_q = jnp.asarray(desc_mod.as_float_bits(frame.descriptors))
         p_new_all = self._points_cam(frame)
 
         best: Optional[LoopCandidate] = None
@@ -184,11 +186,11 @@ class KeyframeDatabase:
             res = match_mod.ratio_match(
                 d, max_distance=cfg.max_descriptor_distance, unique=True
             )
-            ok = np.asarray(res.valid)
+            ok, idx = jax.device_get((res.valid, res.idx))  # one fetch
             if int(ok.sum()) < cfg.min_matches:
                 continue
             qi = np.nonzero(ok)[0]
-            ci = np.asarray(res.idx)[qi]
+            ci = idx[qi]
             p_new = p_new_all[qi]
             p_old = e.p_cam[ci]
             geom = (p_new[:, 2] > 0) & (p_old[:, 2] > 0)

@@ -42,14 +42,27 @@ def _detect_describe(intensity, depth, threshold: float = 10.0, cell: int = 30):
     u = det.uv[:, 0].astype(jnp.int32)
     v = det.uv[:, 1].astype(jnp.int32)
     z = depth.reshape(-1)[v * W + u]
-    return det.uv, det.response, det.valid, desc, z
+    # descriptors leave the device bit-PACKED (32 bytes/feature, not 1 KB):
+    # the host->device link is the backend's bottleneck on remote chips
+    return det.uv, det.response, det.valid, desc_mod.pack_bits(desc), z
 
 
 @jax.jit
 def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy):
-    d = match_mod.descriptor_l1_matrix(desc_q, desc_c)
+    # packed u8 descriptors cross the link; unpack on device for the MXU L1
+    d = match_mod.descriptor_l1_matrix(
+        desc_mod.unpack_bits(desc_q), desc_mod.unpack_bits(desc_c)
+    )
     r = match_mod.reprojection_error_matrix(p3d_c, uv_q, fx, fy, cx, cy)
     return match_mod.ratio_match(d + r, mask_q=mask_q, mask_c=mask_c, unique=True)
+
+
+def _cam_floats(cam) -> tuple:
+    """(fx, fy, cx, cy) as host floats in ONE device fetch. Camera leaves are
+    device scalars; four separate float() calls would each pay a round trip
+    — ruinous inside per-keyframe host loops on a remote-attached chip."""
+    fx, fy, cx, cy = jax.device_get((cam.fx, cam.fy, cam.cx, cam.cy))
+    return float(fx), float(fy), float(cx), float(cy)
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -68,16 +81,18 @@ class FeatureTracking:
     def extract(self, frame: HostFrame) -> None:
         """Populate frame.keypoints/descriptors/kp_depth/kp_landmark
         (FeatureTracking::extractFeatures equivalent)."""
-        uv, resp, valid, desc, z = _detect_describe(
+        out = _detect_describe(
             frame.frame.intensity[0],
             frame.frame.depth[0],
             threshold=self.fast_threshold,
             cell=self.grid_cell,
         )
-        keep = np.asarray(valid)
-        frame.keypoints = np.asarray(uv)[keep]
-        frame.descriptors = np.asarray(desc)[keep]
-        frame.kp_depth = np.asarray(z)[keep]
+        # ONE fetch for all five arrays (five np.asarray calls would each pay
+        # a device round trip); descriptors arrive bit-packed (N, 32) u8
+        uv, _resp, keep, desc, z = jax.device_get(out)
+        frame.keypoints = uv[keep]
+        frame.descriptors = desc[keep]
+        frame.kp_depth = z[keep]
         frame.kp_landmark = np.full(len(frame.keypoints), -1, np.int64)
 
     def select_candidates(self, cur: HostFrame, refs: List[HostFrame], slam_map: Map):
@@ -86,11 +101,12 @@ class FeatureTracking:
         landmark projects inside the current view (FeatureTracking.cpp:178-203).
 
         Fully vectorized per reference frame (batched position fetch + one
-        projection) — no per-landmark Python loop."""
-        cand = []  # (ref_frame, idx)
+        projection) — no per-landmark Python loop. Returns per-frame groups
+        [(ref_frame, idx_array)] so the caller can build the padded candidate
+        arrays with per-frame slices instead of a per-candidate loop."""
+        groups = []  # (ref_frame, np.ndarray of feature indices)
         W, H = cur.frame.width(0), cur.frame.height(0)
-        cam = cur.frame.cameras[0]
-        fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+        fx, fy, cx, cy = _cam_floats(cur.frame.cameras[0])
         R, t = cur.pose[:3, :3], cur.pose[:3, 3]
         seen = np.empty(0, np.int64)
         for f in refs:
@@ -120,9 +136,10 @@ class FeatureTracking:
                 accepted = assoc[first[vis]]
                 seen = np.concatenate([seen, uniq[vis]])
 
-            for i in np.sort(np.concatenate([un, accepted])):
-                cand.append((f, int(i)))
-        return cand
+            idxs = np.sort(np.concatenate([un, accepted]))
+            if len(idxs):
+                groups.append((f, idxs))
+        return groups
 
     def track(self, cur: HostFrame, slam_map: Map) -> List[Landmark]:
         """Full per-keyframe tracking; returns newly created landmarks."""
@@ -130,33 +147,46 @@ class FeatureTracking:
         refs = [f for f in slam_map.keyframes() if f is not cur]
         if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
             return []
-        cand = self.select_candidates(cur, refs, slam_map)
-        if not cand:
+        groups = self.select_candidates(cur, refs, slam_map)
+        n_cand = sum(len(idxs) for _, idxs in groups)
+        if n_cand == 0:
             return []
 
-        # build padded candidate arrays; p3d in the CURRENT camera frame for
-        # the reprojection distance (Matcher.cpp:73-90 via world)
-        M = _bucket(len(cand))
-        D = desc_mod.N_BITS
-        desc_c = np.zeros((M, D), np.float32)
+        # build padded candidate arrays with one vectorized block per
+        # reference frame (no per-candidate Python loop); p3d in the CURRENT
+        # camera frame for the reprojection distance (Matcher.cpp:73-90 via
+        # world). cand keeps the flat (frame, idx) mapping for the
+        # association write-back after the match.
+        M = _bucket(n_cand)
+        desc_c = np.zeros((M, desc_mod.N_BYTES), np.uint8)
         p3d_c = np.zeros((M, 3), np.float32)
         mask_c = np.zeros(M, bool)
-        for j, (f, i) in enumerate(cand):
-            desc_c[j] = f.descriptors[i]
-            mask_c[j] = True
-            pid = int(f.kp_landmark[i])
-            if pid >= 0 and slam_map.point(pid) is not None:
-                p_w = slam_map.point(pid).position
-            elif f.kp_depth[i] > 0:
-                uvz = f.keypoints[i]
-                cam = f.frame.cameras[0]
-                x = (uvz[0] - float(cam.cx)) / float(cam.fx) * f.kp_depth[i]
-                y = (uvz[1] - float(cam.cy)) / float(cam.fy) * f.kp_depth[i]
-                p_w = lie_np.transform(lie_np.inv(f.pose), np.array([[x, y, f.kp_depth[i]]]))[0]
-            else:
-                p3d_c[j] = [0, 0, -1]  # no geometry -> reprojection skipped
-                continue
-            p3d_c[j] = lie_np.transform(cur.pose, p_w[None, :])[0]
+        mask_c[:n_cand] = True
+        cand: List = []
+        R_cur, t_cur = cur.pose[:3, :3], cur.pose[:3, 3]
+        fx, fy, cx, cy = _cam_floats(cur.frame.cameras[0])  # same rig
+        j0 = 0
+        for f, idxs in groups:
+            n = len(idxs)
+            desc_c[j0 : j0 + n] = f.descriptors[idxs]
+            pids = np.asarray(f.kp_landmark, np.int64)[idxs]
+            pos_lm, ok_lm = slam_map.positions_lookup(pids)
+            # depth-backed back-projection into the ref camera, then world
+            z = np.asarray(f.kp_depth, np.float64)[idxs]
+            uv = np.asarray(f.keypoints, np.float64)[idxs]
+            x = (uv[:, 0] - cx) / fx * z
+            y = (uv[:, 1] - cy) / fy * z
+            Tinv = lie_np.inv(f.pose)
+            p_w_depth = np.stack([x, y, z], 1) @ Tinv[:3, :3].T + Tinv[:3, 3]
+            p_w = np.where(ok_lm[:, None], pos_lm, p_w_depth)
+            usable = ok_lm | (z > 0)
+            p_c = p_w @ R_cur.T + t_cur
+            # no geometry -> z = -1 marks "reprojection skipped"
+            p3d_c[j0 : j0 + n] = np.where(
+                usable[:, None], p_c, np.array([0.0, 0.0, -1.0])
+            )
+            j0 += n
+            cand.extend((f, int(i)) for i in idxs)
 
         cam = cur.frame.cameras[0]
         res = _match_combined(
@@ -168,26 +198,36 @@ class FeatureTracking:
             jnp.asarray(mask_c),
             cam.fx, cam.fy, cam.cx, cam.cy,
         )
-        idx = np.asarray(res.idx)
-        ok = np.asarray(res.valid)
+        idx, ok = jax.device_get((res.idx, res.valid))
+
+        # vectorized triangulation of ALL current keypoints with depth (the
+        # per-landmark world point); the loop below only does the dict
+        # bookkeeping for matched ones
+        z_all = np.asarray(cur.kp_depth, np.float64)
+        uv_all = np.asarray(cur.keypoints, np.float64)
+        Tinv_cur = lie_np.inv(cur.pose)
+        xyz = np.stack(
+            [
+                (uv_all[:, 0] - cx) / fx * z_all,
+                (uv_all[:, 1] - cy) / fy * z_all,
+                z_all,
+            ],
+            1,
+        )
+        p_w_all = xyz @ Tinv_cur[:3, :3].T + Tinv_cur[:3, 3]
 
         new_points: List[Landmark] = []
-        for qi in range(len(cur.keypoints)):
-            if not ok[qi]:
-                continue
+        for qi in np.nonzero(ok)[0]:
             f_ref, ri = cand[int(idx[qi])]
             ref_pid = int(f_ref.kp_landmark[ri])
             if ref_pid >= 0 and slam_map.point(ref_pid) is not None:
                 cur.kp_landmark[qi] = ref_pid
-                slam_map.point(ref_pid).observations[cur.id] = qi
-            elif cur.kp_depth[qi] > 0:
-                z = float(cur.kp_depth[qi])
-                u, v = cur.keypoints[qi]
-                c = cur.frame.cameras[0]
-                x = (u - float(c.cx)) / float(c.fx) * z
-                y = (v - float(c.cy)) / float(c.fy) * z
-                p_w = lie_np.transform(lie_np.inv(cur.pose), np.array([[x, y, z]]))[0]
-                lm = Landmark(position=p_w, observations={cur.id: qi, f_ref.id: ri})
+                slam_map.point(ref_pid).observations[cur.id] = int(qi)
+            elif z_all[qi] > 0:
+                lm = Landmark(
+                    position=p_w_all[qi],
+                    observations={cur.id: int(qi), f_ref.id: ri},
+                )
                 cur.kp_landmark[qi] = lm.id
                 f_ref.kp_landmark[ri] = lm.id
                 new_points.append(lm)

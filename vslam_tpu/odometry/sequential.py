@@ -246,11 +246,29 @@ class SequentialOdometry:
         cfg: SequentialConfig = SequentialConfig(),
         chunk: int = 16,
         mapping=None,  # optional sequential_mapping.ChunkMappingBackend
+        async_mapping: bool = True,
     ):
         self.camera = camera
         self.cfg = cfg
         self.chunk = int(chunk)
         self.mapping = mapping
+        # async_mapping runs the keyframe backend in a single worker thread,
+        # overlapped with the NEXT chunk's device scan; its BA/loop-closure
+        # correction folds into the device state one chunk later than the
+        # synchronous mode (deterministic — the worker serializes chunks in
+        # order and corrections apply at fixed points). This mirrors the
+        # reference's node graph, where the mapping backend runs in its own
+        # ROS executor thread while the alignment node keeps consuming
+        # frames (NodeMapping/NodeRgbdAlignment are separate nodes).
+        self.async_mapping = bool(async_mapping) and mapping is not None
+        self._backend_future = None
+        self._executor = None
+        if self.async_mapping:
+            import concurrent.futures
+
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mapping-backend"
+            )
         self.state: Optional[SequentialState] = None
         self._t_last_ns: Optional[int] = None
 
@@ -307,15 +325,25 @@ class SequentialOdometry:
                 pending = nxt
         if pending is not None:
             out.extend(self._collect(*pending))
+        if self.async_mapping:
+            # flush the worker so the final correction lands in the device
+            # state (a later run continues from corrected poses)
+            self._drain_backend()
         return out
 
     def _run_chunk_mapped(self, buf):
-        """Mapping mode: synchronous chunk (the backend's BA/loop-closure
-        correction must reach the device state before the next chunk, so the
-        one-chunk-deep transfer pipelining is traded away)."""
-        results = self._collect(*self._dispatch(buf))
+        """Mapping mode. Synchronous (`async_mapping=False`): the backend's
+        BA/loop-closure correction reaches the device state before the next
+        chunk, trading away chunk pipelining. Asynchronous (default): the
+        backend for chunk k runs in the worker thread WHILE chunk k+1's scan
+        occupies the device; its correction folds in before chunk k+2 — one
+        chunk of extra latency on the write-back, full overlap of the
+        backend's host work with device time."""
+        nxt = self._dispatch(buf)
+        staged = self._last_staged
+        results = self._collect(*nxt)
         kf_flags = list(self._last_kf_flags)
-        delta = self.mapping.process_chunk(
+        args = (
             buf,
             [r[1] for r in results],
             [r[2] for r in results],
@@ -323,12 +351,30 @@ class SequentialOdometry:
             self.camera,
             self.cfg,
         )
-        if delta is not None:
-            # the trajectory keeps this chunk's odometry estimates (the
-            # reference's NodeMapping also writes per-frame odometry poses);
-            # the correction shapes FUTURE tracking via the device state
-            self._apply_correction(delta)
+        kwargs = {"device_images": staged}
+        if self.async_mapping:
+            # fold in the PREVIOUS chunk's correction (its backend ran while
+            # this chunk was solving), then hand this chunk to the worker
+            self._drain_backend()
+            self._backend_future = self._executor.submit(
+                self.mapping.process_chunk, *args, **kwargs
+            )
+        else:
+            delta = self.mapping.process_chunk(*args, **kwargs)
+            if delta is not None:
+                # the trajectory keeps this chunk's odometry estimates (the
+                # reference's NodeMapping also writes per-frame odometry
+                # poses); the correction shapes FUTURE tracking via state
+                self._apply_correction(delta)
         return results
+
+    def _drain_backend(self) -> None:
+        """Apply the pending async backend correction, if any."""
+        if self._backend_future is not None:
+            delta = self._backend_future.result()
+            self._backend_future = None
+            if delta is not None:
+                self._apply_correction(delta)
 
     def _dispatch(self, buf):
         K = self.chunk
@@ -351,10 +397,15 @@ class SequentialOdometry:
             stamps.append(int(t_ns))
         self._t_last_ns = t_prev
 
+        intensity_dev = jnp.asarray(intensity)
+        depth_dev = jnp.asarray(depth)
+        # keep the staged device arrays: the mapping backend reuses them for
+        # its keyframe frames instead of re-uploading the raw images
+        self._last_staged = (intensity_dev, depth_dev)
         self.state, poses, valid, cov, is_kf = scan_odometry(
             self.state,
-            jnp.asarray(intensity),
-            jnp.asarray(depth),
+            intensity_dev,
+            depth_dev,
             jnp.asarray(dts),
             jnp.asarray(live),
             self.camera,
@@ -365,10 +416,10 @@ class SequentialOdometry:
     def _collect(self, stamps, n, poses, cov, is_kf):
         """Blocking fetch of a dispatched chunk's results (f64 conversion +
         SVD re-orthonormalization on host)."""
-        R = np.asarray(poses.R, np.float64)  # one fetch
-        t = np.asarray(poses.t, np.float64)
-        covs = np.asarray(cov, np.float64)
-        kf = np.asarray(is_kf)
+        R, t, covs, kf = jax.device_get((poses.R, poses.t, cov, is_kf))  # ONE fetch
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        covs = np.asarray(covs, np.float64)
         out = []
         self._last_kf_flags = kf[:n]
         for j in range(n):

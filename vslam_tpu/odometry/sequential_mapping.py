@@ -16,18 +16,70 @@ pipeline (`pipeline.py`), but batched per chunk:
 
 from __future__ import annotations
 
-from typing import List, Optional
+import functools
+from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie_np
+from ..core import lie_np, se3
 from ..core.camera import Camera
-from ..core.frame import create_frame
+from ..core.frame import Frame
 from ..utils.log import get_logger
 from .map import HostFrame, Map
 
 __all__ = ["ChunkMappingBackend"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth_scale", "stereo_baseline", "max_disparity")
+)
+def _light_arrays(
+    intensity, second, fx, depth_scale: float, stereo_baseline: float,
+    max_disparity: int,
+):
+    """Level-0 (intensity f32, depth metres) for a backend keyframe, from the
+    scan's already-staged native-dtype arrays — no image re-upload, no
+    pyramid (the feature backend only reads level 0)."""
+    inten = intensity.astype(jnp.float32)
+    if stereo_baseline > 0.0:
+        from ..io.kitti import stereo_depth
+
+        depth = stereo_depth(
+            inten, second.astype(jnp.float32), fx, stereo_baseline,
+            max_disparity=max_disparity,
+        )
+    elif jnp.issubdtype(second.dtype, jnp.integer):
+        depth = second.astype(jnp.float32) * jnp.float32(depth_scale)
+    else:
+        depth = second
+    return inten, depth, jnp.zeros_like(inten)
+
+
+def _light_frame(
+    inten_dev, second_dev, camera: Camera, cfg, cam_host: Camera
+) -> Frame:
+    """One-level Frame for the keyframe backend. Derivative planes are zeros
+    (nothing in the feature/BA/loop-closure path reads them); the camera
+    carries HOST scalars so the backend's per-keyframe host math never pays
+    a device fetch for an intrinsic."""
+    inten, depth, zeros = _light_arrays(
+        inten_dev,
+        second_dev,
+        camera.fx,
+        depth_scale=float(cfg.depth_scale),
+        stereo_baseline=float(cfg.stereo_baseline),
+        max_disparity=int(getattr(cfg, "stereo_max_disparity", 96)),
+    )
+    return Frame(
+        intensity=(inten,),
+        depth=(depth,),
+        dIx=(zeros,),
+        dIy=(zeros,),
+        cameras=(cam_host,),
+        pose=se3.identity(),
+    )
 
 
 class ChunkMappingBackend:
@@ -52,6 +104,7 @@ class ChunkMappingBackend:
 
             self._graph = PoseGraphBackend()
         self._log = get_logger("mapping")
+        self._cam_host: Optional[Camera] = None  # host-scalar intrinsics cache
 
     @property
     def n_landmarks(self) -> int:
@@ -75,30 +128,32 @@ class ChunkMappingBackend:
         kf_flags: List[bool],
         camera: Camera,
         cfg,  # SequentialConfig (n_levels, depth_scale)
+        device_images: Optional[Tuple] = None,  # staged (K,H,W) chunk arrays
     ) -> Optional[np.ndarray]:
         """Run the keyframe backend over one chunk. Returns a 4x4 world-frame
-        correction to fold into the device state, or None."""
+        correction to fold into the device state, or None.
+
+        ``device_images``, when given, carries the scan's already-staged
+        native-dtype (intensity, depth/right) chunk arrays — keyframe frames
+        are built from device SLICES (zero re-upload of the raw images)."""
         delta: Optional[np.ndarray] = None
+        if self._cam_host is None:
+            fx, fy, cx, cy = jax.device_get(
+                (camera.fx, camera.fy, camera.cx, camera.cy)
+            )
+            self._cam_host = Camera(
+                np.float32(fx), np.float32(fy), np.float32(cx), np.float32(cy)
+            )
         for j, is_kf in enumerate(kf_flags):
             if not bool(is_kf):
                 continue
             t_ns, intensity, depth = buf[j]
             est_pose = np.asarray(poses[j], np.float64)
-            intensity_j = jnp.asarray(intensity).astype(jnp.float32)
-            if cfg.stereo_baseline > 0.0:
-                # stereo stream: second channel is the right image
-                from ..io.kitti import stereo_depth
-
-                depth_j = stereo_depth(
-                    intensity_j,
-                    jnp.asarray(depth).astype(jnp.float32),
-                    camera.fx,
-                    cfg.stereo_baseline,
-                    max_disparity=cfg.stereo_max_disparity,
-                )
+            if device_images is not None:
+                inten_j, second_j = device_images[0][j], device_images[1][j]
             else:
-                depth_j = jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale)
-            dev = create_frame(intensity_j, depth_j, camera, n_levels=cfg.n_levels)
+                inten_j, second_j = jnp.asarray(intensity), jnp.asarray(depth)
+            dev = _light_frame(inten_j, second_j, camera, cfg, self._cam_host)
             frame = HostFrame(frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j]))
             self.map.insert(frame, True)
             try:
