@@ -111,6 +111,47 @@ def test_fused_scan_with_mapping_backend():
     assert len(backend.map.keyframes()) >= 2
     assert backend.n_landmarks > 0, "no landmarks created by the chunk backend"
 
+    # async mode (the default above) vs sync mode: the worker only shifts
+    # WHERE corrections fold in (one chunk later); both must stay inside the
+    # accuracy budget and the async run must be deterministic across repeats
+    backend2 = ChunkMappingBackend(enable_ba=True)
+    odo2 = SequentialOdometry(CAM, cfg, chunk=4, mapping=backend2, async_mapping=False)
+    results2 = odo2.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+    errs2 = [
+        np.linalg.norm(lie_np.log(lie_np.relative(np.asarray(T), poses[i])))
+        for i, (_, T, _) in enumerate(results2)
+    ]
+    assert np.mean(errs2) < 0.01, np.mean(errs2)
+    assert backend2.n_landmarks > 0
+
+    backend3 = ChunkMappingBackend(enable_ba=True)
+    odo3 = SequentialOdometry(CAM, cfg, chunk=4, mapping=backend3, async_mapping=True)
+    results3 = odo3.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+    for (t1, T1, _), (t3, T3, _) in zip(results, results3):
+        assert t1 == t3
+        np.testing.assert_allclose(T1, T3, atol=1e-9)
+
+
+def test_descriptor_bit_packing_roundtrip():
+    """pack_bits/unpack_bits/as_float_bits agree with np.unpackbits bit
+    order, and the packed transport is lossless."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.features import descriptor as desc_mod
+
+    rng = np.random.default_rng(3)
+    bits = (rng.random((17, desc_mod.N_BITS)) < 0.5).astype(np.float32)
+    packed = np.asarray(desc_mod.pack_bits(jnp.asarray(bits)))
+    assert packed.shape == (17, desc_mod.N_BYTES) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.unpackbits(packed, axis=-1).astype(np.float32), bits
+    )
+    np.testing.assert_array_equal(
+        np.asarray(desc_mod.unpack_bits(jnp.asarray(packed))), bits
+    )
+    np.testing.assert_array_equal(desc_mod.as_float_bits(packed), bits)
+    np.testing.assert_array_equal(desc_mod.as_float_bits(bits), bits)
+
 
 def test_fused_path_loop_closure_fires():
     """Loop closure on the fused path: an out-and-back sweep revisits the
