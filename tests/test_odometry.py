@@ -139,3 +139,46 @@ def test_keyframe_selection_visible_map():
     f3 = HostFrame(frame=dummy, t_ns=3, pose=lie_np.exp(np.array([0, 0, 0, 0, 1.2, 0])))
     sel.update(f3)
     assert sel.is_keyframe()
+
+
+def test_fast_motion_sequence():
+    """BASELINE config #2 (fr1_xyz role): fast, jerky motion — white-noise
+    per-frame twists (worst case for the constant-velocity predictor, ~10 px
+    inter-frame displacement) must be recovered through the coarse pyramid
+    levels within the reference per-pair budget (test_alignment_se3.cpp:119).
+    """
+    rng = np.random.default_rng(17)
+    n = 10
+    poses = [np.eye(4)]
+    for _ in range(n - 1):
+        # ~10x the smooth-test inter-frame motion, direction-uncorrelated
+        # (fr1_xyz pace: a few cm/frame at 30 Hz)
+        xi = np.concatenate(
+            [rng.uniform(-0.03, 0.03, 3), rng.uniform(-0.015, 0.015, 3)]
+        )
+        poses.append(lie_np.exp(xi) @ poses[-1])
+
+    cfg = PipelineConfig(
+        features_min_gradient=10.0,
+        solver_max_iterations=100,
+        solver_min_step_size=1e-11,
+        keyframe_selection_idx_period=5,
+        prediction_model="ConstantMotion",
+        # the motion prior couples the estimate to the predictor; under
+        # direction-uncorrelated motion the prediction is systematically
+        # wrong and the prior biases per-pair error to ~0.02 at this
+        # resolution (measured) — a fast-motion profile runs prior-off
+        include_prior=False,
+    )
+    pipeline = OdometryPipeline(Camera.create(FX, FY, CX, CY), cfg)
+    traj = pipeline.run(stream(poses))
+    assert len(traj) == n
+    # per-pair budget: the estimated inter-frame MOTION must match ground
+    # truth (the absolute chain accumulates drift; the reference's 0.01 is a
+    # per-pair assertion)
+    errs = []
+    for i in range(1, n):
+        m_est = traj.pose_at(i * DT_NS) @ lie_np.inv(traj.pose_at((i - 1) * DT_NS))
+        m_gt = poses[i] @ lie_np.inv(poses[i - 1])
+        errs.append(np.linalg.norm(lie_np.log(lie_np.relative(m_est, m_gt))))
+    assert np.mean(errs) < 0.01, f"fast-motion mean per-pair error {np.mean(errs):.4f}"
