@@ -21,6 +21,13 @@
 //   void  vslam_loader_close(void* h);
 //   int   vslam_decode_png_f32(const char* path, float* out, int* h, int* w,
 //                              int max_pixels, float scale16);  // standalone
+//
+// Raw-transport variants (native sensor dtypes, for the pipeline's u8/u16
+// host->device staging — the device converts, the link moves 4x less):
+//   void* vslam_loader_open_raw(const char** rgb, const char** depth, int n,
+//                               int n_threads, int capacity);
+//   int   vslam_loader_next_raw(void* h, uint8_t* gray, uint16_t* depth,
+//                               int* height, int* width, int max_pixels);
 
 #include <zlib.h>
 
@@ -40,8 +47,11 @@ namespace {
 
 struct Image {
   int h = 0, w = 0;
-  std::vector<float> data;
+  std::vector<float> data;     // f32 mode
+  std::vector<uint8_t> u8;     // raw mode, 8-bit gray (Rec.601 luma)
+  std::vector<uint16_t> u16;   // raw mode, 16-bit gray (depth counts)
   bool ok = false;
+  bool is16 = false;
 };
 
 uint32_t be32(const uint8_t* p) {
@@ -57,10 +67,11 @@ int paeth(int a, int b, int c) {
   return c;
 }
 
-// Decode an 8/16-bit gray or 8-bit RGB(A) PNG into float32. `scale16`
-// multiplies 16-bit samples (depth-map scaling); 8-bit images come out in
-// [0, 255] (luma for color).
-Image decode_png(const std::string& path, float scale16) {
+// Decode an 8/16-bit gray or 8-bit RGB(A) PNG. f32 mode (raw=false):
+// `scale16` multiplies 16-bit samples (depth-map scaling); 8-bit images come
+// out in [0, 255] (luma for color). Raw mode (raw=true): native dtypes —
+// u8 gray (Rec.601 rounded, matching cv::IMREAD_GRAYSCALE) or u16 counts.
+Image decode_png(const std::string& path, float scale16, bool raw_mode = false) {
   Image img;
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return img;
@@ -144,7 +155,27 @@ Image decode_png(const std::string& path, float scale16) {
 
   img.h = h;
   img.w = w;
-  img.data.resize(size_t(w) * h);
+  const size_t npx = size_t(w) * h;
+  if (raw_mode) {
+    if (bit_depth == 16) {  // 16-bit gray (TUM depth counts, host-endian)
+      img.is16 = true;
+      img.u16.resize(npx);
+      for (size_t i = 0; i < npx; i++)
+        img.u16[i] = (uint16_t(pix[2 * i]) << 8) | pix[2 * i + 1];
+    } else if (channels == 1) {
+      img.u8.assign(pix.begin(), pix.end());
+    } else {  // color -> Rec.601 luma rounded to u8 (IMREAD_GRAYSCALE)
+      img.u8.resize(npx);
+      for (size_t i = 0; i < npx; i++) {
+        const uint8_t* p = &pix[i * bypp];
+        float y = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+        img.u8[i] = uint8_t(y + 0.5f);
+      }
+    }
+    img.ok = true;
+    return img;
+  }
+  img.data.resize(npx);
   if (bit_depth == 16) {  // 16-bit gray (TUM depth)
     for (size_t i = 0; i < img.data.size(); i++) {
       uint16_t v = (uint16_t(pix[2 * i]) << 8) | pix[2 * i + 1];  // big-endian
@@ -173,6 +204,7 @@ struct Frame {
 struct Loader {
   std::vector<std::string> rgb_paths, depth_paths;
   float depth_scale = 1.0f;
+  bool raw = false;  // native-dtype mode: u8 gray + u16 depth counts
   size_t capacity = 8;
 
   std::mutex mu;
@@ -189,8 +221,8 @@ struct Loader {
       if (idx >= long(rgb_paths.size())) return;
       Frame fr;
       fr.index = idx;
-      fr.gray = decode_png(rgb_paths[idx], 1.0f);
-      fr.depth = decode_png(depth_paths[idx], depth_scale);
+      fr.gray = decode_png(rgb_paths[idx], 1.0f, raw);
+      fr.depth = decode_png(depth_paths[idx], depth_scale, raw);
       std::unique_lock<std::mutex> lk(mu);
       cv_full.wait(lk, [&] {
         return stop.load() || ready.size() < capacity ||
@@ -269,6 +301,38 @@ int vslam_loader_next(void* h, float* gray, float* depth, int* height,
 }
 
 void vslam_loader_close(void* h) { delete static_cast<Loader*>(h); }
+
+void* vslam_loader_open_raw(const char** rgb, const char** depth, int n,
+                            int n_threads, int capacity) {
+  auto* l = new Loader();
+  l->rgb_paths.assign(rgb, rgb + n);
+  l->depth_paths.assign(depth, depth + n);
+  l->raw = true;
+  l->capacity = capacity > 0 ? capacity : 8;
+  int nt = n_threads > 0 ? n_threads : 2;
+  for (int i = 0; i < nt; i++) l->workers.emplace_back(&Loader::worker, l);
+  return l;
+}
+
+// Raw-transport pop: u8 gray + u16 depth counts (native PNG dtypes).
+// Returns 0 ok, -1 eof, -2 decode failure, -3 buffer too small, -4 if the
+// depth image was not 16-bit (raw mode expects TUM-style u16 depth).
+int vslam_loader_next_raw(void* h, uint8_t* gray, uint16_t* depth,
+                          int* height, int* width, int max_pixels) {
+  auto* l = static_cast<Loader*>(h);
+  Frame fr;
+  if (!l->next(&fr)) return -1;
+  if (!fr.gray.ok || !fr.depth.ok) return -2;
+  if (fr.gray.h * fr.gray.w > max_pixels ||
+      fr.depth.h * fr.depth.w > max_pixels)
+    return -3;
+  if (fr.gray.is16 || !fr.depth.is16) return -4;
+  memcpy(gray, fr.gray.u8.data(), fr.gray.u8.size());
+  memcpy(depth, fr.depth.u16.data(), fr.depth.u16.size() * sizeof(uint16_t));
+  *height = fr.gray.h;
+  *width = fr.gray.w;
+  return 0;
+}
 
 int vslam_decode_png_f32(const char* path, float* out, int* h, int* w,
                          int max_pixels, float scale16) {

@@ -72,3 +72,37 @@ def test_prefetch_loader_order_and_content(tmp_path):
 def test_decode_missing_file_raises():
     with pytest.raises(IOError):
         native_loader.decode_png("/nonexistent/file.png")
+
+
+def test_raw_loader_native_dtypes(tmp_path):
+    """Raw-transport mode: the loader streams (u8 gray, u16 depth counts)
+    exactly as stored in the PNGs — the dtypes the pipeline stages on device
+    (PipelineConfig.depth_scale converts there)."""
+    rgb_paths, depth_paths, grays, depths = write_pngs(tmp_path, seed=4)
+    loader = native_loader.NativeFrameLoader(rgb_paths, depth_paths, raw=True)
+    got = list(loader)
+    loader.close()
+    assert len(got) == len(grays)
+    for (g, d), g_want, d_want in zip(got, grays, depths):
+        assert g.dtype == np.uint8 and d.dtype == np.uint16
+        np.testing.assert_array_equal(g, g_want)
+        np.testing.assert_array_equal(d, d_want)
+
+
+def test_raw_loader_rgb_luma_rounding(tmp_path, rng):
+    """Color input in raw mode: Rec.601 luma rounded to u8, matching
+    cv::IMREAD_GRAYSCALE (and TumDataset.iter_raw's PIL fallback)."""
+    rgb = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    d16 = rng.integers(0, 30000, (20, 30)).astype(np.uint16)
+    p1, p2 = str(tmp_path / "c.png"), str(tmp_path / "d.png")
+    Image.fromarray(rgb, mode="RGB").save(p1)
+    Image.fromarray(d16, mode="I;16").save(p2)
+    loader = native_loader.NativeFrameLoader([p1], [p2], raw=True)
+    (g, d), = list(loader)
+    loader.close()
+    want = np.round(
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).astype(np.uint8)
+    # float rounding at the .5 boundary may differ by 1 count
+    assert np.abs(g.astype(np.int32) - want.astype(np.int32)).max() <= 1
+    np.testing.assert_array_equal(d, d16)

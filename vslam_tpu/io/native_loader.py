@@ -48,6 +48,23 @@ def _load():
             ctypes.c_int,
         ]
         lib.vslam_loader_close.argtypes = [ctypes.c_void_p]
+        lib.vslam_loader_open_raw.restype = ctypes.c_void_p
+        lib.vslam_loader_open_raw.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vslam_loader_next_raw.restype = ctypes.c_int
+        lib.vslam_loader_next_raw.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         lib.vslam_decode_png_f32.restype = ctypes.c_int
         lib.vslam_decode_png_f32.argtypes = [
             ctypes.c_char_p,
@@ -98,7 +115,12 @@ class NativeFrameLoader:
         n_threads: int = 2,
         capacity: int = 8,
         max_pixels: int = 4096 * 4096,
+        raw: bool = False,
     ):
+        """``raw=True`` streams native sensor dtypes — (u8 gray, u16 depth
+        counts) — for the pipeline's u8/u16 host->device transport; the f32
+        conversion and depth scaling then happen ON DEVICE
+        (PipelineConfig.depth_scale / SequentialConfig.depth_scale)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native library not built (make -C native)")
@@ -106,17 +128,27 @@ class NativeFrameLoader:
         self._lib = lib
         self._n = len(rgb_paths)
         self._max_pixels = max_pixels
+        self._raw = raw
         rgb_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in rgb_paths])
         depth_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in depth_paths])
         self._keepalive = (rgb_arr, depth_arr)
-        self._h = lib.vslam_loader_open(
-            rgb_arr, depth_arr, self._n, n_threads, capacity, ctypes.c_float(depth_scale)
-        )
+        if raw:
+            self._h = lib.vslam_loader_open_raw(
+                rgb_arr, depth_arr, self._n, n_threads, capacity
+            )
+        else:
+            self._h = lib.vslam_loader_open(
+                rgb_arr, depth_arr, self._n, n_threads, capacity,
+                ctypes.c_float(depth_scale),
+            )
 
     def __len__(self) -> int:
         return self._n
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self._raw:
+            yield from self._iter_raw()
+            return
         gray = np.empty(self._max_pixels, np.float32)
         depth = np.empty(self._max_pixels, np.float32)
         h = ctypes.c_int()
@@ -134,6 +166,30 @@ class NativeFrameLoader:
                 return
             if rc != 0:
                 raise IOError(f"frame decode failed ({rc})")
+            n = h.value * w.value
+            yield (
+                gray[:n].reshape(h.value, w.value).copy(),
+                depth[:n].reshape(h.value, w.value).copy(),
+            )
+
+    def _iter_raw(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        gray = np.empty(self._max_pixels, np.uint8)
+        depth = np.empty(self._max_pixels, np.uint16)
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        while True:
+            rc = self._lib.vslam_loader_next_raw(
+                self._h,
+                gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                ctypes.byref(h),
+                ctypes.byref(w),
+                self._max_pixels,
+            )
+            if rc == -1:
+                return
+            if rc != 0:
+                raise IOError(f"raw frame decode failed ({rc})")
             n = h.value * w.value
             yield (
                 gray[:n].reshape(h.value, w.value).copy(),

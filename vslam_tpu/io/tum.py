@@ -221,7 +221,20 @@ class TumDataset:
         depth counts — metres = counts * DEPTH_SCALE). The device converts;
         the host->device link moves 4x less than the f32 stream (see
         PipelineConfig.depth_scale / SequentialConfig.depth_scale). Grayscale
-        uses the same Rec.601 weights as cv::IMREAD_GRAYSCALE, rounded to u8."""
+        uses the same Rec.601 weights as cv::IMREAD_GRAYSCALE, rounded to u8.
+        Uses the native threaded prefetch loader when built."""
+        if _use_native():
+            from .native_loader import NativeFrameLoader
+
+            loader = NativeFrameLoader(
+                [os.path.join(self.root, f) for _, f, _ in self.pairs],
+                [os.path.join(self.root, f) for _, _, f in self.pairs],
+                raw=True,
+            )
+            for (t, _, _), (gray, depth) in zip(self.pairs, loader):
+                yield int(t * 1e9), gray, depth
+            loader.close()
+            return
         from PIL import Image
 
         for t, f_rgb, f_depth in self.pairs:
