@@ -210,3 +210,27 @@ def test_cli_kitti_fused_stereo(mini_kitti, tmp_path, capsys):
     res = lines[-1]
     assert "ate_rmse_m" in res, printed
     assert res["ate_rmse_m"] < 0.05, res
+
+
+def test_cli_kitti_fused_mapping(mini_kitti, tmp_path, capsys):
+    """--format kitti --fused --mapping: the chunk backend's keyframes build
+    their depth with the block matcher from the scan's staged stereo slices
+    (sequential_mapping._light_arrays stereo branch)."""
+    out = str(tmp_path / "kitti_fused_map.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_kitti),
+            "--format", "kitti",
+            "--sequence", "00",
+            "--fused", "--mapping",
+            "--chunk", "4",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    lines = [json.loads(l) for l in printed if l.startswith("{")]
+    res = lines[-1]
+    assert "ate_rmse_m" in res, printed
+    assert res["ate_rmse_m"] < 0.05, res
