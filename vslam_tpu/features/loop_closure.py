@@ -104,9 +104,19 @@ def estimate_rel_3d3d(
 @dataclasses.dataclass
 class _Entry:
     kf_id: int
-    descriptors: np.ndarray  # (N, 256)
+    descriptors: np.ndarray  # (N, 32) bit-packed u8 (or legacy (N, 256) f32)
     p_cam: np.ndarray  # (N, 3) camera-frame 3D points (z<=0 where no depth)
     gdesc: np.ndarray  # (256,) global descriptor: mean BRIEF bit vector
+
+
+def _as_packed(desc: np.ndarray) -> np.ndarray:
+    """(N, 32) u8 bit-packed descriptors from either representation — the
+    form that crosses the host->device link at query time (32x fewer bytes
+    than f32 bit vectors; unpacked on device for the MXU L1 matmul)."""
+    desc = np.asarray(desc)
+    if desc.dtype == np.uint8 and desc.shape[-1] == desc_mod.N_BYTES:
+        return desc
+    return np.packbits(desc.astype(np.float32) > 0.5, axis=-1)
 
 
 def _global_descriptor(descriptors: np.ndarray) -> np.ndarray:
@@ -147,13 +157,12 @@ class KeyframeDatabase:
         """Register a keyframe (HostFrame with extracted features)."""
         if frame.keypoints is None or len(frame.keypoints) == 0:
             return
-        desc = desc_mod.as_float_bits(frame.descriptors)
         self._entries.append(
             _Entry(
                 kf_id=frame.id,
-                descriptors=desc,
+                descriptors=_as_packed(frame.descriptors),
                 p_cam=self._points_cam(frame),
-                gdesc=_global_descriptor(desc),
+                gdesc=_global_descriptor(desc_mod.as_float_bits(frame.descriptors)),
             )
         )
 
@@ -177,12 +186,15 @@ class KeyframeDatabase:
             score = np.abs(G - gq[None]).sum(axis=1)
             keep = np.argsort(score)[: cfg.max_candidates]
             candidates = [candidates[i] for i in keep]
-        desc_q = jnp.asarray(desc_mod.as_float_bits(frame.descriptors))
+        desc_q = desc_mod.unpack_bits(jnp.asarray(_as_packed(frame.descriptors)))
         p_new_all = self._points_cam(frame)
 
         best: Optional[LoopCandidate] = None
         for e in candidates:
-            d = match_mod.descriptor_l1_matrix(desc_q, jnp.asarray(e.descriptors))
+            d = match_mod.descriptor_l1_matrix(
+                desc_q,
+                desc_mod.unpack_bits(jnp.asarray(_as_packed(e.descriptors))),
+            )
             res = match_mod.ratio_match(
                 d, max_distance=cfg.max_descriptor_distance, unique=True
             )
