@@ -78,7 +78,9 @@ def _light_frame(
         dIx=(zeros,),
         dIy=(zeros,),
         cameras=(cam_host,),
-        pose=se3.identity(),
+        # host identity (the backend never reads the device pose; HostFrame
+        # carries the f64 pose chain) — avoids a per-keyframe transfer
+        pose=se3.SE3(np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
     )
 
 
