@@ -377,3 +377,60 @@ def test_cached_ref_data_matches_uncached():
     assert ok_a and ok_b
     np.testing.assert_allclose(pose_a, pose_b, atol=1e-6)
     np.testing.assert_allclose(cov_a, cov_b, rtol=1e-4, atol=1e-10)
+
+
+def test_exposure_robust_normalization():
+    """normalize_intensity (exposure-robust extension): a global gain/bias
+    change on the current frame (auto-exposure) is cancelled by per-level
+    photometric standardization; without it the same pair degrades. The
+    template's steepest-descent rows are rescaled consistently (ic.py
+    precompute_frame)."""
+    xi_true = np.array([0.02, -0.01, 0.01, 0.006, -0.008, 0.004])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref = make_frame(np.eye(4))
+    # simulate auto-exposure: gain 1.35, bias +18 on the current image
+    scene = synthetic.default_scene()
+    intensity, depth = synthetic.render(K, pose_cur, (H, W), scene)
+    intensity = np.clip(intensity * 1.35 + 18.0, 0.0, 255.0)
+    f_cur = create_frame(jnp.asarray(intensity), jnp.asarray(depth), CAM, n_levels=3)
+
+    base = dict(min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+                interpolation="bilinear")
+    pose_n, _, ok_n = RgbdAligner(
+        AlignmentConfig(normalize_intensity=True, **base)
+    ).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+    assert ok_n
+    err_n = np.linalg.norm(lie_np.log(lie_np.relative(pose_n, pose_cur)))
+    assert err_n < 0.005, f"normalized-mode error {err_n}"
+
+    pose_r, _, ok_r = RgbdAligner(AlignmentConfig(**base)).align(
+        [f_ref], [np.eye(4)], f_cur, np.eye(4)
+    )
+    err_r = np.linalg.norm(lie_np.log(lie_np.relative(pose_r, pose_cur)))
+    assert err_n < err_r, (err_n, err_r)
+
+
+def test_exposure_robust_cached_ref_data():
+    """The cached-precompute path (ic.precompute_frame with
+    normalize_intensity) matches the in-align path."""
+    from vslam_tpu.alignment import ic as ic_mod
+
+    xi_true = np.array([0.015, -0.012, 0.008, 0.005, -0.006, 0.003])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref = make_frame(np.eye(4))
+    scene = synthetic.default_scene()
+    intensity, depth = synthetic.render(K, pose_cur, (H, W), scene)
+    intensity = np.clip(intensity * 0.8 - 5.0, 0.0, 255.0)
+    f_cur = create_frame(jnp.asarray(intensity), jnp.asarray(depth), CAM, n_levels=3)
+
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear", normalize_intensity=True,
+    )
+    ref_data = jax.jit(ic_mod.precompute_frame, static_argnames="cfg")(f_ref, cfg)
+    pose_c, _, ok_c = RgbdAligner(cfg).align(
+        [f_ref], [np.eye(4)], f_cur, np.eye(4), ref_data=[ref_data]
+    )
+    assert ok_c
+    err_c = np.linalg.norm(lie_np.log(lie_np.relative(pose_c, pose_cur)))
+    assert err_c < 0.005, f"cached-path error {err_c}"

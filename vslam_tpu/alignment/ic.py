@@ -89,6 +89,23 @@ class AlignmentConfig:
     # doubles MXU throughput; intensities are 0..255 so bf16 rounding stays
     # below the reference's own uint8 quantization (types.h:33-65).
     image_dtype: str = "float32"
+    # Exposure-robust mode (capability extension; the reference has no
+    # photometric compensation): standardize every pyramid level of both
+    # frames to mean 128 / spread 64 over valid pixels before aligning, so a
+    # global gain/bias change between frames (auto-exposure on fr2_desk)
+    # cancels out of the photometric residual. Off by default (strict
+    # reference parity); changes the effective min_gradient scale.
+    normalize_intensity: bool = False
+
+
+def _standardize(img: jax.Array) -> jax.Array:
+    """Per-image photometric standardization to mean 128 / spread 64 (the
+    exposure-robust mode, AlignmentConfig.normalize_intensity): a global
+    gain/bias between frames cancels out of the residual. Dtype-preserving."""
+    x = img.astype(jnp.float32)
+    m = jnp.mean(x)
+    s = jnp.std(x) + 1e-6
+    return ((x - m) / s * 64.0 + 128.0).astype(img.dtype)
 
 
 class ICLevelData(NamedTuple):
@@ -209,11 +226,21 @@ def precompute_frame(frame: Frame, cfg: "AlignmentConfig") -> Tuple[ICLevelData,
     for level in range(len(frame.intensity)):
         cam = Camera(*(jnp.reshape(c, (-1,))[0] for c in frame.cameras[level]))
         budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+        inten, dIx, dIy = frame.intensity[level], frame.dIx[level], frame.dIy[level]
+        if cfg.normalize_intensity:
+            # standardize the template AND scale its gradients by the same
+            # linear factor (the steepest-descent rows must live in the
+            # normalized photometric units the residual is computed in)
+            x = inten.astype(jnp.float32)
+            g = 64.0 / (jnp.std(x) + 1e-6)
+            inten = _standardize(inten)
+            dIx = (dIx.astype(jnp.float32) * g).astype(dIx.dtype)
+            dIy = (dIy.astype(jnp.float32) * g).astype(dIy.dtype)
         out.append(
             precompute_level(
-                frame.intensity[level],
-                frame.dIx[level],
-                frame.dIy[level],
+                inten,
+                dIx,
+                dIy,
                 frame.depth[level],
                 cam,
                 cfg.min_gradient,
@@ -638,10 +665,20 @@ def align(
             # take frame 0's intrinsics as scalars.
             cam_ref = Camera(*(jnp.reshape(c, (-1,))[0] for c in ref_frames.cameras[level]))
             budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+            inten_r = ref_frames.intensity[level]
+            dIx_r, dIy_r = ref_frames.dIx[level], ref_frames.dIy[level]
+            if cfg.normalize_intensity:
+                # per-frame standardization along the F axis (see
+                # precompute_frame); gradients scaled by the same factor
+                x = inten_r.astype(jnp.float32)
+                g = 64.0 / (jnp.std(x, axis=(-2, -1), keepdims=True) + 1e-6)
+                inten_r = jax.vmap(_standardize)(inten_r)
+                dIx_r = (dIx_r.astype(jnp.float32) * g).astype(dIx_r.dtype)
+                dIy_r = (dIy_r.astype(jnp.float32) * g).astype(dIy_r.dtype)
             data = precompute_level(
-                ref_frames.intensity[level],
-                ref_frames.dIx[level],
-                ref_frames.dIy[level],
+                inten_r,
+                dIx_r,
+                dIy_r,
                 ref_frames.depth[level],
                 cam_ref,
                 cfg.min_gradient,
@@ -651,8 +688,11 @@ def align(
         if record_iterations:
             hist_rel0_R.append(rel.R)
             hist_rel0_t.append(rel.t)
+        image_cur = cur_frame.intensity[level]
+        if cfg.normalize_intensity:
+            image_cur = _standardize(image_cur)
         rel, result = solve_level(
-            data, rel, cur_frame.intensity[level], cam_cur, cfg, x_pred,
+            data, rel, image_cur, cam_cur, cfg, x_pred,
             record_iterations=record_iterations,
         )
         cov = jnp.where(result.valid, inv_psd(result.A), cov)

@@ -66,6 +66,9 @@ class PipelineConfig:
     # fused_gn (whole-level in-kernel Pallas GN — the bench profile)
     sampler: str = "gather"
     image_dtype: str = "float32"  # bfloat16 halves the fused kernels' MXU time
+    # exposure-robust alignment (per-level photometric standardization of
+    # both frames; capability extension — see AlignmentConfig)
+    normalize_intensity: bool = False
     # SLAM backend (NodeMapping: feature tracking + windowed BA on keyframes)
     enable_mapping: bool = False
     ba_max_iterations: int = 50
@@ -111,6 +114,7 @@ class PipelineConfig:
             max_points=self.features_max_points,
             sampler=self.sampler,
             image_dtype=self.image_dtype,
+            normalize_intensity=self.normalize_intensity,
         )
 
 
