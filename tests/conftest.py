@@ -41,3 +41,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_memory():
+    """Free compiled executables between test modules. The suite has grown
+    past the point where one process can hold every module's XLA:CPU
+    executables: at ~7 GB RSS this jaxlib segfaults sporadically INSIDE
+    backend_compile_and_load (observed on test_pose_graph late in a full
+    run; the same class of bug as the serialization crash above). Modules
+    rarely share compiled programs, so per-module recompiles cost little."""
+    yield
+    jax.clear_caches()
