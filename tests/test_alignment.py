@@ -434,3 +434,26 @@ def test_exposure_robust_cached_ref_data():
     assert ok_c
     err_c = np.linalg.norm(lie_np.log(lie_np.relative(pose_c, pose_cur)))
     assert err_c < 0.005, f"cached-path error {err_c}"
+
+
+def test_exposure_robust_composes_with_fused_gn():
+    """normalize_intensity composes with the in-kernel GN solver: the
+    standardization happens on the level images/templates BEFORE the kernel
+    packs them, so the production fused profile is exposure-robust too."""
+    xi_true = np.array([0.012, -0.006, 0.009, 0.003, -0.005, 0.002])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref = make_frame(np.eye(4))
+    scene = synthetic.default_scene()
+    intensity, depth = synthetic.render(K, pose_cur, (H, W), scene)
+    intensity = np.clip(intensity * 1.25 + 12.0, 0.0, 255.0)
+    f_cur = create_frame(jnp.asarray(intensity), jnp.asarray(depth), CAM, n_levels=3)
+
+    cfg = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=False,
+        interpolation="bilinear", max_points=4096, sampler="fused_gn",
+        normalize_intensity=True,
+    )
+    pose_est, _, ok = RgbdAligner(cfg).align([f_ref], [np.eye(4)], f_cur, np.eye(4))
+    assert ok
+    err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
+    assert err < 0.01, f"fused_gn normalized error {err}"
