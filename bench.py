@@ -141,25 +141,26 @@ def main():
 
     pairs_per_sec = B * REPS / elapsed
 
-    odometry_fps = None
-    if os.environ.get("BENCH_ODOMETRY", "1") != "0":
-        odometry_fps = bench_odometry_fps()
+    # Sub-benches degrade independently: a crash in one (remote-TPU tunnel
+    # hiccups, OOM on a small host) must not lose the headline JSON line the
+    # driver parses. Failures are loud — stderr traceback + an *_error key.
+    def _guard(name, enabled, fn):
+        if os.environ.get(enabled, "1") == "0":
+            return None
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - defensive harness path
+            import traceback
 
-    slam = None
-    if os.environ.get("BENCH_SLAM", "1") != "0":
-        slam = bench_slam()
+            traceback.print_exc()
+            print(f"{name} sub-bench FAILED: {e}", file=sys.stderr)
+            return {f"{name}_error": str(e)[:200]}
 
-    kitti = None
-    if os.environ.get("BENCH_KITTI", "1") != "0":
-        kitti = bench_kitti()
-
-    real = None
-    if os.environ.get("BENCH_REAL", "1") != "0":
-        real = bench_real()
-
-    host = None
-    if os.environ.get("BENCH_HOST", "1") != "0":
-        host = bench_host()
+    odometry_fps = _guard("odometry", "BENCH_ODOMETRY", bench_odometry_fps)
+    slam = _guard("slam", "BENCH_SLAM", bench_slam)
+    kitti = _guard("kitti", "BENCH_KITTI", bench_kitti)
+    real = _guard("real", "BENCH_REAL", bench_real)
+    host = _guard("host", "BENCH_HOST", bench_host)
 
     result = {
         "metric": "aligned frame-pairs/sec/chip (480x640, 3 levels, GN<=100)",
@@ -167,20 +168,17 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / 500.0, 3),
     }
-    if odometry_fps is not None:
+    if isinstance(odometry_fps, dict):  # guarded failure marker
+        result.update(odometry_fps)
+    elif odometry_fps is not None:
         # sequential single-sequence tracking throughput (fused lax.scan
         # path), reported alongside the headline batched metric; the
         # reference replays in real time at 30 Hz (NodeReplayer.cpp:116-118)
         result["odometry_fps"] = round(odometry_fps, 2)
         result["odometry_fps_vs_realtime_30hz"] = round(odometry_fps / 30.0, 3)
-    if slam is not None:
-        result.update(slam)
-    if kitti is not None:
-        result.update(kitti)
-    if real is not None:
-        result.update(real)
-    if host is not None:
-        result.update(host)
+    for sub in (slam, kitti, real, host):
+        if sub is not None:
+            result.update(sub)
     print(json.dumps(result))
 
 

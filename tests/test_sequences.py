@@ -1,0 +1,150 @@
+"""Batched multi-sequence odometry (parallel/sequences.py): S fused scans in
+one device program must reproduce the single-sequence driver's trajectories,
+handle ragged sequence lengths via live masking, and shard over the 8-device
+virtual mesh (the reference evaluates sequences serially — script/evaluate.py
+loops; this is the TPU batch axis over whole sequences)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vslam_tpu.alignment.ic import AlignmentConfig
+from vslam_tpu.core import lie_np
+from vslam_tpu.core.camera import Camera
+from vslam_tpu.eval import metrics
+from vslam_tpu.io import synthetic
+from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+from vslam_tpu.parallel import sequences as mseq
+from vslam_tpu.parallel.batched import make_mesh
+from vslam_tpu.solvers import SolverConfig
+
+H, W, FX = 96, 128, 110.0
+DT_NS = int(1e9 / 30)
+
+
+def _seq_cfg():
+    return SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=10.0,
+            solver=SolverConfig(max_iterations=50, min_step_size=1e-7),
+            include_prior=True,
+            prior_weight=(FX / 525.0) ** 2,
+        ),
+        n_levels=3,
+        kf_period=5,
+    )
+
+
+def _make_stream(n_frames, seed):
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    scene = synthetic.default_scene(seed=seed)
+    poses = synthetic.smooth_trajectory(n_frames, trans_amp=0.08, rot_amp=0.03)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    stream = [
+        (i * DT_NS, *synthetic.render(K, p, (H, W), scene))
+        for i, p in enumerate(poses)
+    ]
+    return poses, stream
+
+
+def _cam():
+    return Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+
+
+def _ate(poses, results):
+    gt = {i * DT_NS / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+    est = {t / 1e9: lie_np.inv(p) for t, p, _ in results}
+    ate, n = metrics.ate_rmse(gt, est)
+    assert n == len(results)
+    return ate
+
+
+def test_multi_sequence_matches_single_sequence():
+    """Two different scenes, batched scan == per-sequence fused driver."""
+    cfg = _seq_cfg()
+    poses_a, stream_a = _make_stream(9, seed=0)
+    poses_b, stream_b = _make_stream(9, seed=3)
+
+    multi = mseq.MultiSequenceOdometry([_cam(), _cam()], cfg, chunk=4)
+    res = multi.run([stream_a, stream_b])
+    assert len(res) == 2 and len(res[0]) == 9 and len(res[1]) == 9
+    assert _ate(poses_a, res[0]) < 0.01
+    assert _ate(poses_b, res[1]) < 0.01
+
+    for stream, batched in ((stream_a, res[0]), (stream_b, res[1])):
+        solo = SequentialOdometry(_cam(), cfg, chunk=4).run(iter(stream))
+        for (t1, p1, c1), (t2, p2, c2) in zip(solo, batched):
+            assert t1 == t2
+            err = np.linalg.norm(lie_np.log(lie_np.relative(p1, p2)))
+            assert err < 1e-4, err
+            assert np.allclose(c1, c2, atol=1e-4)
+
+
+def test_multi_sequence_ragged_lengths():
+    """Sequence lengths 10 and 6: the short sequence's dead slots must leave
+    its state untouched and emit nothing."""
+    cfg = _seq_cfg()
+    poses_a, stream_a = _make_stream(10, seed=1)
+    poses_b, stream_b = _make_stream(6, seed=4)
+    res = mseq.MultiSequenceOdometry([_cam(), _cam()], cfg, chunk=4).run(
+        [stream_a, stream_b]
+    )
+    assert len(res[0]) == 10 and len(res[1]) == 6
+    assert _ate(poses_a, res[0]) < 0.01
+    assert _ate(poses_b, res[1]) < 0.01
+    # short sequence's result is chunking-invariant (ragged padding inert)
+    solo = SequentialOdometry(_cam(), cfg, chunk=4).run(iter(stream_b))
+    for (t1, p1, _), (t2, p2, _) in zip(solo, res[1]):
+        assert t1 == t2
+        assert np.linalg.norm(lie_np.log(lie_np.relative(p1, p2))) < 1e-4
+
+
+def test_multi_sequence_sharded_mesh():
+    """8 sequences sharded over the 8-device virtual mesh, lock-step chunks;
+    results match the unsharded batched scan."""
+    cfg = _seq_cfg()
+    S = 8
+    streams, all_poses = [], []
+    for s in range(S):
+        poses, stream = _make_stream(6, seed=s)
+        streams.append(stream)
+        all_poses.append(poses)
+    mesh = make_mesh(jax.devices("cpu")[:S])
+    res = mseq.MultiSequenceOdometry(
+        [_cam()] * S, cfg, chunk=3, mesh=mesh
+    ).run([iter(s) for s in streams])
+    for s in range(S):
+        assert len(res[s]) == 6
+        assert _ate(all_poses[s], res[s]) < 0.01
+
+    res_plain = mseq.MultiSequenceOdometry([_cam()] * S, cfg, chunk=3).run(
+        [iter(s) for s in streams]
+    )
+    for s in range(S):
+        for (t1, p1, _), (t2, p2, _) in zip(res_plain[s], res[s]):
+            assert t1 == t2
+            assert np.linalg.norm(lie_np.log(lie_np.relative(p1, p2))) < 1e-4
+
+
+def test_multi_sequence_per_sequence_intrinsics():
+    """Camera is vmapped: per-sequence fx/cx differences must be honored."""
+    cfg = _seq_cfg()
+    fx2 = FX * 1.25
+    K2 = synthetic.camera_matrix(fx2, fx2, (W - 1) / 2, (H - 1) / 2)
+    scene = synthetic.default_scene(seed=7)
+    poses = synthetic.smooth_trajectory(8, trans_amp=0.06, rot_amp=0.02)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    stream2 = [
+        (i * DT_NS, *synthetic.render(K2, p, (H, W), scene))
+        for i, p in enumerate(poses)
+    ]
+    poses1, stream1 = _make_stream(8, seed=2)
+    cam2 = Camera.create(fx2, fx2, (W - 1) / 2, (H - 1) / 2)
+    res = mseq.MultiSequenceOdometry([_cam(), cam2], cfg, chunk=4).run(
+        [stream1, stream2]
+    )
+    assert _ate(poses1, res[0]) < 0.01
+    assert _ate(poses, res[1]) < 0.01

@@ -1,0 +1,231 @@
+"""Batched multi-sequence odometry: S fused scans in ONE device program.
+
+The reference evaluates sequences serially — `script/evaluate.py` launches
+one replayer/odometry process per dataset sequence and the experiment runs
+are a shell loop (reference script/evaluate.py:1-60). The TPU-native
+evaluation axis is *batch*: `vmap` the fused sequential step
+(`odometry.sequential._step`, the NodeRgbdAlignment::processFrame program)
+over S independent sequences, and shard S across the device mesh
+(`shard_map`). One dispatch then advances EVERY sequence by a chunk of K
+frames; a pod evaluates an entire benchmark suite (e.g. all 9 TUM fr-
+sequences x N parameter configs) in the wall-clock of its longest sequence.
+
+Constraints inherited from the fused scan: all sequences share the static
+frame geometry (H, W) and the static `SequentialConfig`; per-sequence
+*intrinsics* may differ (Camera is a pytree of scalars and is vmapped).
+Ragged sequence lengths are handled with the scan's existing `live` mask —
+exhausted sequences pass state through and re-emit their last pose, exactly
+like padded chunk slots in the single-sequence driver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.camera import Camera
+from ..odometry.sequential import (
+    SequentialConfig,
+    SequentialState,
+    init_state,
+    scan_odometry,
+)
+
+__all__ = [
+    "stack_cameras",
+    "init_states",
+    "scan_sequences",
+    "sharded_scan_sequences",
+    "MultiSequenceOdometry",
+]
+
+
+def stack_cameras(cameras: Sequence[Camera]) -> Camera:
+    """Stack S per-sequence cameras into one batched Camera pytree."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def init_states(
+    intensity: jax.Array,  # (S, H, W) native sensor dtype
+    depth: jax.Array,  # (S, H, W) depth counts, or right stereo image
+    cameras: Camera,  # leaves (S,)
+    cfg: SequentialConfig,
+) -> SequentialState:
+    """Batched first-frame initialization (each sequence's frame 0 is its
+    first keyframe, Odometry.cpp:33-35)."""
+    return jax.vmap(lambda i, d, c: init_state(i, d, c, cfg))(
+        intensity, depth, cameras
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def scan_sequences(
+    states: SequentialState,  # leaves (S, ...)
+    intensity: jax.Array,  # (S, K, H, W)
+    depth: jax.Array,  # (S, K, H, W)
+    dt: jax.Array,  # (S, K) seconds
+    live: jax.Array,  # (S, K) bool
+    cameras: Camera,  # leaves (S,)
+    cfg: SequentialConfig,
+):
+    """Advance all S sequences by a K-frame chunk in one dispatch. Returns
+    (states, poses SE3 (S, K), valid (S, K), cov (S, K, 6, 6), is_kf (S, K))."""
+    return jax.vmap(
+        lambda st, i, d, t, lv, cam: scan_odometry(st, i, d, t, lv, cam, cfg)
+    )(states, intensity, depth, dt, live, cameras)
+
+
+def sharded_scan_sequences(mesh: Mesh, cfg: SequentialConfig, axis: str = "data"):
+    """pjit-compiled multi-chip chunk step: sequences sharded over `axis`,
+    each chip scans its local sequences, one psum reports the global tracking
+    health (fraction of valid frames this chunk) over ICI."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    sspec = P(axis)
+
+    def local_scan(states, intensity, depth, dt, live, cameras):
+        states, poses, valid, cov, is_kf = scan_sequences(
+            states, intensity, depth, dt, live, cameras, cfg
+        )
+        n_ok = jnp.sum((valid & live).astype(jnp.float32))
+        n = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+        frac = jax.lax.psum(n_ok, axis) / jax.lax.psum(n, axis)
+        return states, poses, valid, cov, is_kf, frac
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(sspec,) * 6,
+        out_specs=(sspec, sspec, sspec, sspec, sspec, P()),
+    )
+    try:
+        sharded = shard_map(local_scan, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - pre-0.8 jax uses check_rep
+        sharded = shard_map(local_scan, check_rep=False, **kwargs)
+    return jax.jit(sharded)
+
+
+class MultiSequenceOdometry:
+    """Host driver: feed S frame streams, collect S TUM trajectories.
+
+    Lock-step chunking: every dispatch advances all sequences by up to
+    `chunk` frames; sequences that run out are padded with live=False slots
+    (their state passes through untouched). One dispatch + one fetch per
+    chunk covers the whole suite — the multi-sequence analog of
+    `SequentialOdometry.run`.
+    """
+
+    def __init__(
+        self,
+        cameras: Sequence[Camera],
+        cfg: SequentialConfig = SequentialConfig(),
+        chunk: int = 16,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.cameras = stack_cameras(list(cameras))
+        self.cfg = cfg
+        self.chunk = int(chunk)
+        self.mesh = mesh
+        self._sharded = (
+            sharded_scan_sequences(mesh, cfg) if mesh is not None else None
+        )
+        if mesh is not None:
+            from .batched import shard_batch
+
+            self.cameras = shard_batch(self.cameras, mesh)
+
+    def run(
+        self, streams: Sequence[Iterable[Tuple[int, np.ndarray, np.ndarray]]]
+    ) -> List[List[Tuple[int, np.ndarray, np.ndarray]]]:
+        """Returns, per sequence, a list of (t_ns, pose world->cam 4x4 f64,
+        cov 6x6 f64) — the same contract as `SequentialOdometry.run`."""
+        its = [iter(s) for s in streams]
+        S = len(its)
+        firsts = [next(it) for it in its]
+        H, W = np.asarray(firsts[0][1]).shape
+        i0 = np.stack([np.asarray(f[1]) for f in firsts])
+        d0 = np.stack([np.asarray(f[2]) for f in firsts])
+        i0_dev, d0_dev = jnp.asarray(i0), jnp.asarray(d0)
+        if self.mesh is not None:
+            from .batched import shard_batch
+
+            i0_dev = shard_batch(i0_dev, self.mesh)
+            d0_dev = shard_batch(d0_dev, self.mesh)
+        states = init_states(i0_dev, d0_dev, self.cameras, self.cfg)
+        if self.mesh is not None:
+            from .batched import shard_batch
+
+            states = shard_batch(states, self.mesh)
+        t_last = [int(f[0]) for f in firsts]
+        out: List[List[Tuple[int, np.ndarray, np.ndarray]]] = [
+            [(t_last[s], np.eye(4), np.eye(6))] for s in range(S)
+        ]
+        done = [False] * S
+        idt, ddt = i0.dtype, d0.dtype
+
+        while not all(done):
+            K = self.chunk
+            inten = np.zeros((S, K, H, W), idt)
+            depth = np.zeros((S, K, H, W), ddt)
+            dts = np.zeros((S, K), np.float32)
+            live = np.zeros((S, K), bool)
+            stamps: List[List[int]] = [[] for _ in range(S)]
+            any_live = False
+            for s in range(S):
+                for j in range(K):
+                    if done[s]:
+                        break
+                    try:
+                        t_ns, i_, d_ = next(its[s])
+                    except StopIteration:
+                        done[s] = True
+                        break
+                    inten[s, j] = i_
+                    depth[s, j] = d_
+                    dts[s, j] = (int(t_ns) - t_last[s]) / 1e9
+                    live[s, j] = True
+                    any_live = True
+                    t_last[s] = int(t_ns)
+                    stamps[s].append(int(t_ns))
+            if not any_live:
+                break
+            args = (
+                states,
+                jnp.asarray(inten),
+                jnp.asarray(depth),
+                jnp.asarray(dts),
+                jnp.asarray(live),
+            )
+            if self._sharded is not None:
+                from .batched import shard_batch
+
+                args = (args[0],) + tuple(
+                    shard_batch(a, self.mesh) for a in args[1:]
+                )
+                states, poses, valid, cov, is_kf, _frac = self._sharded(
+                    *args, self.cameras
+                )
+            else:
+                states, poses, valid, cov, is_kf = scan_sequences(
+                    *args, self.cameras, self.cfg
+                )
+            R, t, covs = jax.device_get((poses.R, poses.t, cov))  # ONE fetch
+            R = np.asarray(R, np.float64)
+            t = np.asarray(t, np.float64)
+            covs = np.asarray(covs, np.float64)
+            for s in range(S):
+                for j, t_ns in enumerate(stamps[s]):
+                    T = np.eye(4)
+                    u, _, vt = np.linalg.svd(R[s, j])
+                    T[:3, :3] = u @ vt
+                    T[:3, 3] = t[s, j]
+                    out[s].append((t_ns, T, covs[s, j]))
+        return out
