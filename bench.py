@@ -157,6 +157,7 @@ def main():
             return {f"{name}_error": str(e)[:200]}
 
     odometry_fps = _guard("odometry", "BENCH_ODOMETRY", bench_odometry_fps)
+    multiseq = _guard("multiseq", "BENCH_MULTISEQ", bench_multiseq)
     slam = _guard("slam", "BENCH_SLAM", bench_slam)
     kitti = _guard("kitti", "BENCH_KITTI", bench_kitti)
     real = _guard("real", "BENCH_REAL", bench_real)
@@ -176,7 +177,7 @@ def main():
         # reference replays in real time at 30 Hz (NodeReplayer.cpp:116-118)
         result["odometry_fps"] = round(odometry_fps, 2)
         result["odometry_fps_vs_realtime_30hz"] = round(odometry_fps / 30.0, 3)
-    for sub in (slam, kitti, real, host):
+    for sub in (multiseq, slam, kitti, real, host):
         if sub is not None:
             result.update(sub)
     print(json.dumps(result))
@@ -372,6 +373,98 @@ def bench_odometry_fps():
     results = run()
     elapsed = time.perf_counter() - t0
     return N / elapsed
+
+
+def bench_multiseq():
+    """Suite-evaluation throughput: S independent sequences advanced in
+    lock-step by the batched fused scan (parallel/sequences.py) on ONE chip.
+    The single-sequence scan is latency-bound (each frame depends on the
+    previous pose); batching S sequences fills the chip, so aggregate fps
+    should approach S x the single-sequence rate until compute saturates.
+    The reference evaluates sequences serially (script/evaluate.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.eval import metrics
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.odometry.sequential import SequentialConfig
+    from vslam_tpu.parallel import sequences as mseq
+    from vslam_tpu.solvers import SolverConfig
+
+    H = int(os.environ.get("BENCH_MULTISEQ_H", "480"))
+    W = int(os.environ.get("BENCH_MULTISEQ_W", "640"))
+    FX = 525.0 * W / 640
+    S = int(os.environ.get("BENCH_MULTISEQ_SEQS", "4"))
+    N = int(os.environ.get("BENCH_MULTISEQ_FRAMES", "32"))
+    CHUNK = int(os.environ.get("BENCH_MULTISEQ_CHUNK", "16"))
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    dt_ns = int(1e9 / 30)
+
+    streams, gts = [], []
+    for s in range(S):
+        scene = synthetic.default_scene(seed=100 + s)
+        poses = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
+        p0i = lie_np.inv(poses[0])
+        poses = [p @ p0i for p in poses]
+        stream = []
+        for i, p in enumerate(poses):
+            inten, depth = synthetic.render(K, p, (H, W), scene)
+            stream.append(
+                (
+                    i * dt_ns,
+                    np.clip(np.round(inten), 0, 255).astype(np.uint8),
+                    np.clip(np.round(depth * 5000.0), 0, 65535).astype(np.uint16),
+                )
+            )
+        streams.append(stream)
+        gts.append({i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)})
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=30.0,
+            solver=SolverConfig(
+                max_iterations=100, min_step_size=1e-11, min_relative_reduction=1e-4
+            ),
+            include_prior=True,
+            interpolation="bilinear",
+            sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+            image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
+            max_points=int(os.environ.get("BENCH_POINTS", "2048")),
+        ),
+        depth_scale=1.0 / 5000.0,
+        n_levels=3,
+        kf_period=5,
+    )
+
+    def run():
+        odo = mseq.MultiSequenceOdometry([cam] * S, cfg, chunk=CHUNK)
+        return odo.run([iter(s) for s in streams])
+
+    res = run()  # compile + warmup
+    ates = []
+    for s in range(S):
+        est = {t / 1e9: lie_np.inv(p) for t, p, _ in res[s]}
+        ate, _ = metrics.ate_rmse(gts[s], est)
+        ates.append(float(ate))
+    max_ate = max(ates)
+    print(f"multiseq gate: max ATE {max_ate:.5f} m over {S} sequences x {N} "
+          f"frames (budget 0.01)", file=sys.stderr)
+    if max_ate > 0.01:
+        return {"multiseq_fps": 0.0, "multiseq_max_ate_m": round(max_ate, 5)}
+
+    t0 = time.perf_counter()
+    run()
+    elapsed = time.perf_counter() - t0
+    fps = S * N / elapsed
+    return {
+        "multiseq_fps": round(fps, 2),
+        "multiseq_seqs": S,
+        "multiseq_max_ate_m": round(max_ate, 5),
+    }
 
 
 def bench_slam():

@@ -121,6 +121,64 @@ def test_cli_fused_mapping(mini_dataset, tmp_path, capsys):
 
 
 @pytest.fixture(scope="module")
+def mini_dataset_b(tmp_path_factory):
+    """Second mini TUM sequence (different trajectory) for the multi-dataset
+    suite mode."""
+    root = tmp_path_factory.mktemp("mini_tum_b")
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(8, trans_amp=0.05, rot_amp=0.02, seed=23)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    rgb_lines, depth_lines, gt = [], [], {}
+    for i, p in enumerate(poses):
+        t = 2000.0 + i / 30.0
+        intensity, depth = synthetic.render(K, p, (H, W))
+        Image.fromarray(np.clip(intensity, 0, 255).astype(np.uint8), mode="L").save(
+            root / "rgb" / f"{t:.6f}.png"
+        )
+        d16 = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16, mode="I;16").save(root / "depth" / f"{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        gt[t] = lie_np.inv(p)
+    (root / "rgb.txt").write_text("# ts file\n" + "\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("# ts file\n" + "\n".join(depth_lines) + "\n")
+    tum.write_trajectory(str(root / "groundtruth.txt"), gt)
+    return root
+
+
+def test_cli_odometry_multi_dataset(mini_dataset, mini_dataset_b, tmp_path, capsys):
+    """Suite mode: two --dataset flags batch both sequences through the
+    multi-sequence fused scan (ragged lengths: 12 and 8 frames); per-sequence
+    trajectories + metrics come back in one JSON summary."""
+    out = str(tmp_path / "suite.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_dataset),
+            "--dataset", str(mini_dataset_b),
+            "--out", out,
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+            "--fused",
+            "--chunk", "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(
+        [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["sequences"] == 2
+    assert summary["frames"] == N_FRAMES + 8
+    assert len(summary["results"]) == 2
+    for entry in summary["results"]:
+        assert os.path.exists(entry["trajectory"])
+        assert entry["ate_rmse_m"] < 0.02, entry
+    assert os.path.exists(str(tmp_path / "suite_suite.meta.json"))
+
+
+@pytest.fixture(scope="module")
 def mini_kitti(tmp_path_factory):
     """Synthetic stereo mini-KITTI: left images at the trajectory poses,
     right images at a baseline shift along camera +x; depth comes from the

@@ -40,6 +40,9 @@ def _cmd_odometry(args) -> int:
     cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
+    if len(args.dataset) > 1:
+        return _cmd_odometry_multi(args, cfg, log)
+    args.dataset = args.dataset[0]
     if args.format == "kitti":
         from ..io.kitti import KittiDataset
 
@@ -149,6 +152,90 @@ def _cmd_odometry(args) -> int:
 
         res = metrics.summarize(ds.groundtruth, est)
         print(json.dumps(res))
+    return 0
+
+
+def _cmd_odometry_multi(args, cfg, log) -> int:
+    """Batched suite evaluation: S TUM sequences advanced in lock-step by the
+    multi-sequence fused scan (`parallel.sequences`) — one device dispatch
+    per chunk covers EVERY sequence. The reference's experiment driver loops
+    sequences serially (script/evaluate.py); this is the TPU batch axis over
+    whole datasets. Fused-path only; per-sequence intrinsics are honored."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from ..core.camera import Camera
+    from ..io import tum
+    from ..odometry.sequential import SequentialConfig
+    from ..parallel.sequences import MultiSequenceOdometry
+
+    if not args.fused:
+        log.warning("multiple --dataset implies --fused (batched scan path)")
+    if args.format != "tum":
+        print("multi-dataset mode supports --format tum only", file=sys.stderr)
+        return 2
+    if cfg.enable_mapping or cfg.enable_loop_closure:
+        print(
+            "multi-dataset mode is odometry-only (run SLAM per sequence)",
+            file=sys.stderr,
+        )
+        return 2
+
+    if cfg.sampler == "gather" and not args.parity:
+        cfg = dc.replace(
+            cfg, sampler="fused_gn", image_dtype="bfloat16", features_max_points=2048
+        )
+    datasets = [tum.TumDataset(d, max_frames=args.max_frames) for d in args.dataset]
+    if args.intrinsics:
+        fx, fy, cx, cy = (float(x) for x in args.intrinsics.split(","))
+        cameras = [Camera.create(fx, fy, cx, cy) for _ in datasets]
+    else:
+        cameras = [Camera.create(*ds.intrinsics()) for ds in datasets]
+    seq_cfg = SequentialConfig(
+        alignment=cfg.alignment_config(),
+        depth_scale=tum.DEPTH_SCALE,
+        prediction_model=cfg.prediction_model,
+        n_levels=cfg.pyramid_levels,
+        kf_period=cfg.keyframe_selection_idx_period,
+        kf_max_translation=cfg.keyframe_selection_max_translation,
+        include_key_frame=cfg.include_key_frame,
+    )
+    odo = MultiSequenceOdometry(cameras, seq_cfg, chunk=args.chunk)
+    log.warning(
+        "tracking %d sequences (%s frames) in lock-step",
+        len(datasets),
+        "/".join(str(len(d)) for d in datasets),
+    )
+    t0 = time.perf_counter()
+    all_results = odo.run([ds.iter_raw() for ds in datasets])
+    elapsed = time.perf_counter() - t0
+    n_total = sum(len(r) for r in all_results)
+
+    out_prefix = (args.out or "trajectory.txt").removesuffix(".txt")
+    summary = {
+        "sequences": len(datasets),
+        "frames": n_total,
+        "fps": round(n_total / elapsed, 2),
+        "git_sha": _git_sha(),
+    }
+    per_seq = []
+    for ds, results in zip(datasets, all_results):
+        name = os.path.basename(os.path.normpath(ds.root))
+        est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}
+        covs = {t / 1e9: c for t, _, c in results}
+        out = f"{out_prefix}_{name}.txt"
+        tum.write_trajectory(out, est, covs=covs)
+        entry = {"dataset": name, "frames": len(results), "trajectory": out}
+        if ds.groundtruth and not args.no_eval:
+            from . import metrics
+
+            entry.update(metrics.summarize(ds.groundtruth, est))
+        per_seq.append(entry)
+    summary["results"] = per_seq
+    with open(out_prefix + "_suite.meta.json", "w") as f:
+        json.dump({**summary, "config": dataclasses.asdict(cfg)}, f, indent=2)
+    print(json.dumps(summary))
     return 0
 
 
@@ -288,7 +375,13 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("odometry", help="track a TUM RGB-D sequence")
-    p.add_argument("--dataset", required=True)
+    p.add_argument(
+        "--dataset",
+        required=True,
+        action="append",
+        help="sequence directory; repeat to batch several sequences through "
+        "the multi-sequence fused scan (one device program advances all)",
+    )
     p.add_argument("--format", choices=["tum", "kitti"], default="tum")
     p.add_argument("--sequence", default="00", help="KITTI sequence id")
     p.add_argument("--out", default=None)

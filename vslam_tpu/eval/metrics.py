@@ -311,7 +311,10 @@ def summarize(
     gt: Dict[float, np.ndarray], est: Dict[float, np.ndarray]
 ) -> Dict[str, float]:
     ate, n_ate = ate_rmse(gt, est)
-    rpe_t, rpe_r, n_rpe = rpe(gt, est)
+    # default 1 s RPE interval (the TUM protocol's common choice), capped to
+    # a third of the overlap span so short clips still report a number
+    span = max(est.keys()) - min(est.keys())
+    rpe_t, rpe_r, n_rpe = rpe(gt, est, fixed_delta=min(1.0, max(span / 3, 1e-3)))
     return {
         "ate_rmse_m": ate,
         "rpe_trans_rmse_m": rpe_t,
