@@ -170,6 +170,7 @@ class MultiSequenceOdometry:
         ]
         done = [False] * S
         idt, ddt = i0.dtype, d0.dtype
+        pending = None
 
         while not all(done):
             K = self.chunk
@@ -217,15 +218,27 @@ class MultiSequenceOdometry:
                 states, poses, valid, cov, is_kf = scan_sequences(
                     *args, self.cameras, self.cfg
                 )
-            R, t, covs = jax.device_get((poses.R, poses.t, cov))  # ONE fetch
-            R = np.asarray(R, np.float64)
-            t = np.asarray(t, np.float64)
-            covs = np.asarray(covs, np.float64)
-            for s in range(S):
-                for j, t_ns in enumerate(stamps[s]):
-                    T = np.eye(4)
-                    u, _, vt = np.linalg.svd(R[s, j])
-                    T[:3, :3] = u @ vt
-                    T[:3, 3] = t[s, j]
-                    out[s].append((t_ns, T, covs[s, j]))
+            # pipelined: defer the (blocking) fetch of this chunk until the
+            # NEXT chunk has been dispatched, so chunk k+1's host staging +
+            # transfer overlaps chunk k's device solve (same pattern as
+            # SequentialOdometry.run)
+            if pending is not None:
+                self._collect(out, *pending)
+            pending = (stamps, poses, cov)
+        if pending is not None:
+            self._collect(out, *pending)
         return out
+
+    @staticmethod
+    def _collect(out, stamps, poses, cov):
+        R, t, covs = jax.device_get((poses.R, poses.t, cov))  # ONE fetch
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        covs = np.asarray(covs, np.float64)
+        for s, seq_stamps in enumerate(stamps):
+            for j, t_ns in enumerate(seq_stamps):
+                T = np.eye(4)
+                u, _, vt = np.linalg.svd(R[s, j])
+                T[:3, :3] = u @ vt
+                T[:3, 3] = t[s, j]
+                out[s].append((t_ns, T, covs[s, j]))
