@@ -20,6 +20,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache for the TPU backend: bench compiles ~8
+    # distinct programs and remote compiles run 2-8 min cold; cached reruns
+    # start in seconds. CPU is excluded — XLA:CPU executable serialization
+    # segfaults sporadically on this jaxlib (see tests/conftest.py).
+    try:
+        if jax.devices()[0].platform != "cpu":
+            cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # never let cache setup kill the bench
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
     from vslam_tpu.alignment.ic import AlignmentConfig
     from vslam_tpu.parallel.batched import align_pairs
     from vslam_tpu.solvers import SolverConfig

@@ -161,8 +161,6 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
     per chunk covers EVERY sequence. The reference's experiment driver loops
     sequences serially (script/evaluate.py); this is the TPU batch axis over
     whole datasets. Fused-path only; per-sequence intrinsics are honored."""
-    import dataclasses as dc
-
     import numpy as np
 
     from ..core.camera import Camera
@@ -183,7 +181,7 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         return 2
 
     if cfg.sampler == "gather" and not args.parity:
-        cfg = dc.replace(
+        cfg = dataclasses.replace(
             cfg, sampler="fused_gn", image_dtype="bfloat16", features_max_points=2048
         )
     datasets = [tum.TumDataset(d, max_frames=args.max_frames) for d in args.dataset]
