@@ -128,6 +128,60 @@ def test_multi_sequence_sharded_mesh():
             assert np.linalg.norm(lie_np.log(lie_np.relative(p1, p2))) < 1e-4
 
 
+def test_multi_sequence_with_mapping_backends():
+    """Full SLAM on the batched suite: each sequence gets its OWN
+    ChunkMappingBackend (track -> windowed BA between chunks); corrections
+    fold into only that sequence's row of the batched pose chain, landmarks
+    accumulate per map, and tracking stays inside the odometry budget."""
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    cfg = SequentialConfig(
+        alignment=_seq_cfg().alignment,
+        n_levels=3,
+        kf_period=2,  # every other frame a keyframe -> backend exercised
+    )
+    poses_a, stream_a = _make_stream(9, seed=5)
+    poses_b, stream_b = _make_stream(7, seed=8)
+    backends = [ChunkMappingBackend(enable_ba=True) for _ in range(2)]
+    res = mseq.MultiSequenceOdometry(
+        [_cam(), _cam()], cfg, chunk=4, mappings=backends
+    ).run([stream_a, stream_b])
+    assert len(res[0]) == 9 and len(res[1]) == 7
+    assert _ate(poses_a, res[0]) < 0.01
+    assert _ate(poses_b, res[1]) < 0.01
+    # each sequence built its own map
+    assert backends[0].n_landmarks > 0
+    assert backends[1].n_landmarks > 0
+    assert len(backends[0].map.keyframes()) >= 3
+
+
+def test_fold_corrections_is_per_sequence():
+    """A correction for sequence 0 must leave sequence 1's pose rows
+    untouched."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.core import lie_np
+
+    cfg = _seq_cfg()
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    i0, d0 = synthetic.render(K, np.eye(4), (H, W))
+    cams = mseq.stack_cameras([_cam(), _cam()])
+    states = mseq.init_states(
+        jnp.asarray(np.stack([i0, i0])), jnp.asarray(np.stack([d0, d0])), cams, cfg
+    )
+    delta = lie_np.exp(np.array([0.05, -0.02, 0.01, 0.02, 0.0, -0.01]))
+    dR = np.stack([delta[:3, :3], np.eye(3)]).astype(np.float32)
+    dt = np.stack([delta[:3, 3], np.zeros(3)]).astype(np.float32)
+    new = mseq._fold_corrections(states, jnp.asarray(dR), jnp.asarray(dt))
+    T0 = np.eye(4)
+    T0[:3, :3] = np.asarray(new.pose_last.R[0])
+    T0[:3, 3] = np.asarray(new.pose_last.t[0])
+    assert np.linalg.norm(lie_np.log(lie_np.relative(T0, delta))) < 1e-5
+    assert np.allclose(np.asarray(new.pose_last.R[1]), np.eye(3), atol=1e-6)
+    assert np.allclose(np.asarray(new.pose_last.t[1]), 0.0, atol=1e-7)
+    assert np.allclose(np.asarray(new.pose_kf.R[1]), np.eye(3), atol=1e-6)
+
+
 def test_multi_sequence_per_sequence_intrinsics():
     """Camera is vmapped: per-sequence fx/cx differences must be honored."""
     cfg = _seq_cfg()

@@ -173,12 +173,6 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
     if args.format != "tum":
         print("multi-dataset mode supports --format tum only", file=sys.stderr)
         return 2
-    if cfg.enable_mapping or cfg.enable_loop_closure:
-        print(
-            "multi-dataset mode is odometry-only (run SLAM per sequence)",
-            file=sys.stderr,
-        )
-        return 2
 
     if cfg.sampler == "gather" and not args.parity:
         cfg = dataclasses.replace(
@@ -199,7 +193,19 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         kf_max_translation=cfg.keyframe_selection_max_translation,
         include_key_frame=cfg.include_key_frame,
     )
-    odo = MultiSequenceOdometry(cameras, seq_cfg, chunk=args.chunk)
+    mappings = None
+    if cfg.enable_mapping or cfg.enable_loop_closure:
+        from ..odometry.sequential_mapping import ChunkMappingBackend
+
+        mappings = [
+            ChunkMappingBackend(
+                enable_ba=cfg.enable_mapping,
+                enable_loop_closure=cfg.enable_loop_closure,
+                ba_max_iterations=cfg.ba_max_iterations,
+            )
+            for _ in datasets
+        ]
+    odo = MultiSequenceOdometry(cameras, seq_cfg, chunk=args.chunk, mappings=mappings)
     log.warning(
         "tracking %d sequences (%s frames) in lock-step",
         len(datasets),

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core import se3
 from ..core.camera import Camera
+from ..core.se3 import SE3
 from ..odometry.sequential import (
     SequentialConfig,
     SequentialState,
@@ -43,6 +45,23 @@ __all__ = [
     "sharded_scan_sequences",
     "MultiSequenceOdometry",
 ]
+
+
+@jax.jit
+def _fold_corrections(states: SequentialState, dR: jax.Array, dt: jax.Array):
+    """Left-compose per-sequence world-frame corrections (identity rows for
+    uncorrected sequences) onto the batched pose chain."""
+
+    def comp(p: SE3) -> SE3:
+        return jax.vmap(
+            lambda ddR, ddt, pR, pt: se3.orthonormalize(
+                se3.compose(SE3(ddR, ddt), SE3(pR, pt))
+            )
+        )(dR, dt, p.R, p.t)
+
+    return states._replace(
+        pose_kf=comp(states.pose_kf), pose_last=comp(states.pose_last)
+    )
 
 
 def stack_cameras(cameras: Sequence[Camera]) -> Camera:
@@ -129,11 +148,22 @@ class MultiSequenceOdometry:
         cfg: SequentialConfig = SequentialConfig(),
         chunk: int = 16,
         mesh: Optional[Mesh] = None,
+        mappings: Optional[Sequence] = None,  # per-sequence ChunkMappingBackend
     ):
-        self.cameras = stack_cameras(list(cameras))
+        self._cam_list = list(cameras)
+        self.cameras = stack_cameras(self._cam_list)
         self.cfg = cfg
         self.chunk = int(chunk)
         self.mesh = mesh
+        # Per-sequence SLAM backends (odometry.sequential_mapping). Mapping
+        # mode collects each chunk synchronously (its BA/loop correction must
+        # fold into the device state before the next chunk), mirroring
+        # SequentialOdometry's synchronous mapping mode. Each sequence keeps
+        # its OWN map/backend; corrections apply only to that sequence's row
+        # of the batched pose chain.
+        self.mappings = list(mappings) if mappings is not None else None
+        if self.mappings is not None and len(self.mappings) != len(self._cam_list):
+            raise ValueError("need one mapping backend per sequence")
         self._sharded = (
             sharded_scan_sequences(mesh, cfg) if mesh is not None else None
         )
@@ -168,6 +198,13 @@ class MultiSequenceOdometry:
         out: List[List[Tuple[int, np.ndarray, np.ndarray]]] = [
             [(t_last[s], np.eye(4), np.eye(6))] for s in range(S)
         ]
+        if self.mappings is not None:
+            # each sequence's frame 0 seeds its backend map (first keyframe)
+            for s, backend in enumerate(self.mappings):
+                backend.process_chunk(
+                    [(t_last[s], i0[s], d0[s])], [np.eye(4)], [np.eye(6)],
+                    [True], self._cam_list[s], self.cfg,
+                )
         done = [False] * S
         idt, ddt = i0.dtype, d0.dtype
         pending = None
@@ -218,6 +255,13 @@ class MultiSequenceOdometry:
                 states, poses, valid, cov, is_kf = scan_sequences(
                     *args, self.cameras, self.cfg
                 )
+            if self.mappings is not None:
+                # synchronous: corrections must land before the next chunk
+                rows = self._collect(out, stamps, poses, cov, is_kf)
+                states = self._run_backends(
+                    states, rows, stamps, inten, depth, args[1], args[2]
+                )
+                continue
             # pipelined: defer the (blocking) fetch of this chunk until the
             # NEXT chunk has been dispatched, so chunk k+1's host staging +
             # transfer overlaps chunk k's device solve (same pattern as
@@ -229,16 +273,56 @@ class MultiSequenceOdometry:
             self._collect(out, *pending)
         return out
 
+    def _run_backends(self, states, rows, stamps, inten, depth, inten_dev, depth_dev):
+        """Feed each sequence's chunk to its mapping backend; fold any BA /
+        loop-closure corrections into that sequence's row of the batched pose
+        chain (the multi-sequence analog of
+        SequentialOdometry._apply_correction)."""
+        kf_rows, results = rows
+        deltas = {}
+        for s, backend in enumerate(self.mappings):
+            n_s = len(stamps[s])
+            if n_s == 0:
+                continue
+            buf_s = [(stamps[s][j], inten[s, j], depth[s, j]) for j in range(n_s)]
+            res_s = results[s]
+            delta = backend.process_chunk(
+                buf_s,
+                [r[1] for r in res_s],
+                [r[2] for r in res_s],
+                [bool(k) for k in kf_rows[s][:n_s]],
+                self._cam_list[s],
+                self.cfg,
+                device_images=(inten_dev[s], depth_dev[s]),
+            )
+            if delta is not None:
+                deltas[s] = np.asarray(delta, np.float64)
+        if not deltas:
+            return states
+        S = len(self.mappings)
+        dR = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
+        dt = np.zeros((S, 3), np.float32)
+        for s, d in deltas.items():
+            dR[s] = d[:3, :3]
+            dt[s] = d[:3, 3]
+        return _fold_corrections(states, jnp.asarray(dR), jnp.asarray(dt))
+
     @staticmethod
-    def _collect(out, stamps, poses, cov):
-        R, t, covs = jax.device_get((poses.R, poses.t, cov))  # ONE fetch
-        R = np.asarray(R, np.float64)
-        t = np.asarray(t, np.float64)
-        covs = np.asarray(covs, np.float64)
+    def _collect(out, stamps, poses, cov, is_kf=None):
+        fetch = (poses.R, poses.t, cov) + (() if is_kf is None else (is_kf,))
+        got = jax.device_get(fetch)  # ONE fetch
+        R = np.asarray(got[0], np.float64)
+        t = np.asarray(got[1], np.float64)
+        covs = np.asarray(got[2], np.float64)
+        results = [[] for _ in stamps]
         for s, seq_stamps in enumerate(stamps):
             for j, t_ns in enumerate(seq_stamps):
                 T = np.eye(4)
                 u, _, vt = np.linalg.svd(R[s, j])
                 T[:3, :3] = u @ vt
                 T[:3, 3] = t[s, j]
-                out[s].append((t_ns, T, covs[s, j]))
+                row = (t_ns, T, covs[s, j])
+                out[s].append(row)
+                results[s].append(row)
+        if is_kf is not None:
+            return np.asarray(got[3]), results
