@@ -181,6 +181,13 @@ class MultiSequenceOdometry:
         S = len(its)
         firsts = [next(it) for it in its]
         H, W = np.asarray(firsts[0][1]).shape
+        for s, f in enumerate(firsts):
+            if np.asarray(f[1]).shape != (H, W):
+                raise ValueError(
+                    f"all sequences must share frame geometry: sequence {s} is "
+                    f"{np.asarray(f[1]).shape}, sequence 0 is {(H, W)} (the "
+                    "batched scan is one static-shape program)"
+                )
         i0 = np.stack([np.asarray(f[1]) for f in firsts])
         d0 = np.stack([np.asarray(f[2]) for f in firsts])
         i0_dev, d0_dev = jnp.asarray(i0), jnp.asarray(d0)
