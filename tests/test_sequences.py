@@ -128,11 +128,14 @@ def test_multi_sequence_sharded_mesh():
             assert np.linalg.norm(lie_np.log(lie_np.relative(p1, p2))) < 1e-4
 
 
-def test_multi_sequence_with_mapping_backends():
+@pytest.mark.parametrize("async_mapping", [False, True])
+def test_multi_sequence_with_mapping_backends(async_mapping):
     """Full SLAM on the batched suite: each sequence gets its OWN
     ChunkMappingBackend (track -> windowed BA between chunks); corrections
     fold into only that sequence's row of the batched pose chain, landmarks
-    accumulate per map, and tracking stays inside the odometry budget."""
+    accumulate per map, and tracking stays inside the odometry budget.
+    Async mode overlaps the backends with the next chunk's scan (corrections
+    land one chunk later)."""
     from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
 
     cfg = SequentialConfig(
@@ -144,7 +147,8 @@ def test_multi_sequence_with_mapping_backends():
     poses_b, stream_b = _make_stream(7, seed=8)
     backends = [ChunkMappingBackend(enable_ba=True) for _ in range(2)]
     res = mseq.MultiSequenceOdometry(
-        [_cam(), _cam()], cfg, chunk=4, mappings=backends
+        [_cam(), _cam()], cfg, chunk=4, mappings=backends,
+        async_mapping=async_mapping,
     ).run([stream_a, stream_b])
     assert len(res[0]) == 9 and len(res[1]) == 7
     assert _ate(poses_a, res[0]) < 0.01

@@ -9,7 +9,9 @@ Subcommands:
              rpe_summary/ate_summary like the reference driver
              (script/evaluate.py:60-75)
   synthetic  dataset-free end-to-end check on the analytic plane scene
-  bench      batched-alignment throughput (same path as bench.py)
+
+Throughput measurement lives in the repo-root `bench.py` (the driver-facing
+benchmark: batched alignment + odometry/SLAM/KITTI/suite gates).
 
 Provenance: like the reference's meta.yaml (script/evaluate.py:51-55), the
 odometry command records config + git sha next to the trajectory.

@@ -149,6 +149,7 @@ class MultiSequenceOdometry:
         chunk: int = 16,
         mesh: Optional[Mesh] = None,
         mappings: Optional[Sequence] = None,  # per-sequence ChunkMappingBackend
+        async_mapping: bool = True,
     ):
         self._cam_list = list(cameras)
         self.cameras = stack_cameras(self._cam_list)
@@ -164,6 +165,21 @@ class MultiSequenceOdometry:
         self.mappings = list(mappings) if mappings is not None else None
         if self.mappings is not None and len(self.mappings) != len(self._cam_list):
             raise ValueError("need one mapping backend per sequence")
+        # async_mapping overlaps the host-side backends (track/BA/loop per
+        # sequence, mutually independent -> a small thread pool) with the
+        # NEXT chunk's device scan; corrections fold in one chunk later than
+        # the synchronous mode, deterministically — the same contract as
+        # SequentialOdometry(async_mapping=True).
+        self.async_mapping = bool(async_mapping) and self.mappings is not None
+        self._backend_futures = None
+        self._executor = None
+        if self.async_mapping:
+            import concurrent.futures
+
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(len(self.mappings), 4),
+                thread_name_prefix="suite-mapping",
+            )
         self._sharded = (
             sharded_scan_sequences(mesh, cfg) if mesh is not None else None
         )
@@ -263,11 +279,17 @@ class MultiSequenceOdometry:
                     *args, self.cameras, self.cfg
                 )
             if self.mappings is not None:
-                # synchronous: corrections must land before the next chunk
+                if self.async_mapping:
+                    # fold chunk k-1's corrections while the device is busy
+                    # with chunk k (they shape tracking from chunk k+1 on)
+                    states = self._drain_backends(states)
                 rows = self._collect(out, stamps, poses, cov, is_kf)
-                states = self._run_backends(
-                    states, rows, stamps, inten, depth, args[1], args[2]
-                )
+                work = (rows, stamps, inten, depth, args[1], args[2])
+                if self.async_mapping:
+                    self._backend_futures = self._submit_backends(*work)
+                else:
+                    # synchronous: corrections land before the next chunk
+                    states = self._run_backends(states, *work)
                 continue
             # pipelined: defer the (blocking) fetch of this chunk until the
             # NEXT chunk has been dispatched, so chunk k+1's host staging +
@@ -278,32 +300,67 @@ class MultiSequenceOdometry:
             pending = (stamps, poses, cov)
         if pending is not None:
             self._collect(out, *pending)
+        if self.async_mapping:
+            states = self._drain_backends(states)  # surface errors, finish maps
         return out
 
-    def _run_backends(self, states, rows, stamps, inten, depth, inten_dev, depth_dev):
-        """Feed each sequence's chunk to its mapping backend; fold any BA /
-        loop-closure corrections into that sequence's row of the batched pose
-        chain (the multi-sequence analog of
-        SequentialOdometry._apply_correction)."""
+    def _backend_args(self, rows, stamps, inten, depth, inten_dev, depth_dev):
+        """Per-sequence (backend, process_chunk args) for one chunk."""
         kf_rows, results = rows
-        deltas = {}
+        calls = []
         for s, backend in enumerate(self.mappings):
             n_s = len(stamps[s])
             if n_s == 0:
                 continue
             buf_s = [(stamps[s][j], inten[s, j], depth[s, j]) for j in range(n_s)]
             res_s = results[s]
-            delta = backend.process_chunk(
-                buf_s,
-                [r[1] for r in res_s],
-                [r[2] for r in res_s],
-                [bool(k) for k in kf_rows[s][:n_s]],
-                self._cam_list[s],
-                self.cfg,
-                device_images=(inten_dev[s], depth_dev[s]),
+            calls.append(
+                (
+                    s,
+                    backend,
+                    (
+                        buf_s,
+                        [r[1] for r in res_s],
+                        [r[2] for r in res_s],
+                        [bool(k) for k in kf_rows[s][:n_s]],
+                        self._cam_list[s],
+                        self.cfg,
+                    ),
+                    {"device_images": (inten_dev[s], depth_dev[s])},
+                )
             )
+        return calls
+
+    def _run_backends(self, states, *work):
+        """Synchronous mode: feed each sequence's chunk to its backend, fold
+        the corrections immediately (the multi-sequence analog of
+        SequentialOdometry._apply_correction)."""
+        deltas = {}
+        for s, backend, a, kw in self._backend_args(*work):
+            delta = backend.process_chunk(*a, **kw)
             if delta is not None:
                 deltas[s] = np.asarray(delta, np.float64)
+        return self._fold(states, deltas)
+
+    def _submit_backends(self, *work):
+        return [
+            (s, self._executor.submit(backend.process_chunk, *a, **kw))
+            for s, backend, a, kw in self._backend_args(*work)
+        ]
+
+    def _drain_backends(self, states):
+        """Collect the previous chunk's backend futures, fold corrections."""
+        if not self._backend_futures:
+            return states
+        deltas = {}
+        for s, fut in self._backend_futures:
+            delta = fut.result()
+            if delta is not None:
+                deltas[s] = np.asarray(delta, np.float64)
+        self._backend_futures = None
+        return self._fold(states, deltas)
+
+    def _fold(self, states, deltas):
         if not deltas:
             return states
         S = len(self.mappings)
