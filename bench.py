@@ -485,9 +485,13 @@ def bench_slam():
     device-state write-back — the NodeMapping.cpp:142-180 path).
 
     The synthetic sequence carries sensor-like noise (quadratic depth noise +
-    intensity shot noise) so direct odometry drifts and the backend has real
-    error to correct; the gate reports mapping-mode fps, its ATE, and the
-    mapping-off ATE on the SAME noisy stream for the improvement ratio."""
+    intensity shot noise). The gate reports mapping-mode fps plus its ATE and
+    the mapping-off ATE on the SAME noisy stream. With the gated write-back
+    policy (ba.bundle_adjustment.drift_significant) the backend is no-harm by
+    construction when dense odometry is already tighter than sparse BA —
+    expect slam_ate ~= odometry_ate here; write-back value shows on real
+    drift (loop closures, degraded texture), not on a stream the dense front
+    end already nails."""
     import jax
     import jax.numpy as jnp
 

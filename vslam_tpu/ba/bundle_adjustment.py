@@ -24,7 +24,8 @@ fixes the gauge explicitly and conditions the reduced system.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Tuple
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -119,7 +120,10 @@ def _chi2(p: BaProblem, poses: SE3, points: jax.Array, huber_c: float = 5.0) -> 
     return jnp.sum(r * r)
 
 
-def _lm_step(p: BaProblem, poses: SE3, points: jax.Array, lam: jax.Array, huber_c: float):
+def _schur_dense(p: BaProblem, poses: SE3, points: jax.Array, lam, huber_c: float):
+    """Assemble the gauge-fixed dense reduced camera system. Returns
+    (Sd (6K,6K), rhs_d (6K,), free6, Vinv, Wkm, bx) — shared by the LM step
+    and the pose-covariance extraction."""
     K = poses.t.shape[0]
     M = points.shape[0]
     r, Jp, Jx, ok = _residuals(p, poses, points, huber_c)
@@ -159,7 +163,29 @@ def _lm_step(p: BaProblem, poses: SE3, points: jax.Array, lam: jax.Array, huber_
     Sd = jnp.where(free6[:, None] & free6[None, :], Sd, 0.0)
     Sd = Sd + jnp.diag(jnp.where(free6, 0.0, 1.0))
     rhs_d = jnp.where(free6, rhs.reshape(-1), 0.0)
+    return Sd, rhs_d, free6, Vinv, Wkm, bx
 
+
+@functools.partial(jax.jit, static_argnames=("slot", "huber_c"))
+def pose_covariance(
+    p: BaProblem, poses: SE3, points: jax.Array, slot: int, huber_c: float = 5.0
+) -> jax.Array:
+    """6x6 covariance of pose block `slot` at the solution, in the solver's
+    right-multiplicative tangent frame (pose_new = pose . exp(d)), as the
+    corresponding block of the reduced camera system's inverse. Unscaled —
+    multiply by the residual variance estimate (reprojection residuals are
+    in PIXELS, so the scale is physically calibrated, unlike the photometric
+    A^-1 of the dense aligner)."""
+    Sd, _, _, _, _, _ = _schur_dense(p, poses, points, jnp.asarray(1e-8, points.dtype), huber_c)
+    e = jnp.zeros((Sd.shape[0], 6), Sd.dtype)
+    e = e.at[slot * 6 : (slot + 1) * 6, :].set(jnp.eye(6, dtype=Sd.dtype))
+    X = jnp.linalg.solve(Sd, e)  # (6K, 6)
+    return X[slot * 6 : (slot + 1) * 6, :]
+
+
+def _lm_step(p: BaProblem, poses: SE3, points: jax.Array, lam: jax.Array, huber_c: float):
+    K = poses.t.shape[0]
+    Sd, rhs_d, free6, Vinv, Wkm, bx = _schur_dense(p, poses, points, lam, huber_c)
     dp = jnp.linalg.solve(Sd, rhs_d).reshape(K, 6)
     dx = jnp.einsum("mij,mj->mi", Vinv, bx - jnp.einsum("kmil,ki->ml", Wkm, dp))
     dx = jnp.where(p.point_mask[:, None], dx, 0.0)
@@ -213,6 +239,36 @@ def solve_ba(
 _solve_ba_jit = jax.jit(solve_ba, static_argnames=("max_iterations", "huber_c"))
 
 
+# chi2 inverse-CDF at 0.99 for 6 dof
+_CHI2_6_99 = 16.81
+
+
+def drift_significant(
+    ba: "BundleAdjustment",
+    est_pose: np.ndarray,
+    corrected: np.ndarray,
+    min_correction: float = 1e-3,
+) -> bool:
+    """True when BA's correction for the newest keyframe exceeds BA's own
+    pose uncertainty (`ba.last_newest_cov`, the residual-variance-scaled
+    Schur inverse block) — a statistically significant drift measurement,
+    not solver jitter. Runs in BA's right-multiplicative tangent frame.
+    Falls back to the absolute `min_correction` floor when no covariance is
+    available."""
+    from ..core import lie_np
+
+    # right-multiplicative tangent: corrected = est . exp(d_r)
+    d_r = lie_np.log(lie_np.inv(est_pose) @ corrected)
+    cov = getattr(ba, "last_newest_cov", None)
+    if cov is None or not np.all(np.isfinite(cov)):
+        return bool(np.linalg.norm(d_r) >= min_correction)
+    try:
+        m2 = float(d_r @ np.linalg.solve(cov, d_r))
+    except np.linalg.LinAlgError:
+        return bool(np.linalg.norm(d_r) >= min_correction)
+    return m2 > _CHI2_6_99 and np.linalg.norm(d_r) >= min_correction
+
+
 class BundleAdjustment:
     """Host wrapper: pulls keyframes + landmarks from the Map, pads to static
     buckets, runs the jitted Schur-LM solve, returns updated poses/points
@@ -221,6 +277,9 @@ class BundleAdjustment:
 
     def __init__(self, max_iterations: int = 50):
         self.max_iterations = int(max_iterations)
+        # 6x6 covariance (right-mult tangent, residual-variance scaled) of
+        # the newest keyframe from the LAST optimize() call
+        self.last_newest_cov: Optional[np.ndarray] = None
 
     @staticmethod
     def _bucket(n: int, minimum: int = 8) -> int:
@@ -319,4 +378,17 @@ class BundleAdjustment:
             pose_updates[fid] = T
         pts_all = np.asarray(pts_all, np.float64)
         point_updates = {pid: pts_all[m] for pid, m in pt_index.items()}
+
+        # 6x6 covariance of the NEWEST keyframe (kf_ids[0]) at the solution,
+        # scaled by the residual-variance estimate (pixel units, so the
+        # scale is physically meaningful). Consumers (the gated write-back
+        # in sequential_mapping) use it to tell real drift from the BA
+        # noise floor. Right-multiplicative tangent: pose_new = pose.exp(d).
+        slot_newest = int(inv_order[0])
+        cov = pose_covariance(problem, poses_out, points_out, slot_newest)
+        n_res = 2 * len(obs) + int(np.sum(obs_arr[: len(obs), 4] > 0))
+        dof = max(n_res - (6 * (K - 1) + 3 * len(pts)), 1)
+        sigma2 = float(err1) / dof
+        self.last_newest_cov = np.asarray(jax.device_get(cov), np.float64) * sigma2
+
         return pose_updates, point_updates, float(err0), float(err1)

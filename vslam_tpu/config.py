@@ -72,6 +72,12 @@ class PipelineConfig:
     # SLAM backend (NodeMapping: feature tracking + windowed BA on keyframes)
     enable_mapping: bool = False
     ba_max_iterations: int = 50
+    # BA pose write-back policy: "gated" folds a correction into the pose
+    # chain only when it is statistically significant under BA's own pose
+    # covariance (real drift, not the sparse solver's noise floor — see
+    # ba.bundle_adjustment.drift_significant); "always" is the reference's
+    # unconditional Map::updatePoses semantics; "off" refines the map only.
+    ba_pose_write_back: str = "gated"
     # loop closure + global pose graph (capability extension, SURVEY §7 M5)
     enable_loop_closure: bool = False
     # log.image.<Name>.show / log.plot.<Name>.show flags from the reference

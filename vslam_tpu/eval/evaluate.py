@@ -101,6 +101,7 @@ def _cmd_odometry(args) -> int:
                 enable_ba=cfg.enable_mapping,
                 enable_loop_closure=cfg.enable_loop_closure,
                 ba_max_iterations=cfg.ba_max_iterations,
+                pose_write_back=cfg.ba_pose_write_back,
             )
         odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk, mapping=mapping)
         t0 = time.perf_counter()
@@ -204,6 +205,7 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
                 enable_ba=cfg.enable_mapping,
                 enable_loop_closure=cfg.enable_loop_closure,
                 ba_max_iterations=cfg.ba_max_iterations,
+                pose_write_back=cfg.ba_pose_write_back,
             )
             for _ in datasets
         ]

@@ -179,14 +179,31 @@ class OdometryPipeline:
                     else:  # loop-closure-only: features without landmarks
                         self._tracking.extract(frame)
                 if self._ba is not None and len(self.map.keyframes()) >= 2:
+                    from ..ba.bundle_adjustment import drift_significant as _drift_significant
+
                     poses, points, err0, err1 = self._ba.optimize(self.map)
                     if err1 < err0 and self._ba_sane(poses):
-                        self.map.update_poses(poses)
                         self.map.update_points(points)
-                        frame.pose = self.map.keyframes()[0].pose
-                        if self._graph is not None:
-                            for fid, T in poses.items():
-                                self._graph.update_pose(fid, T)
+                        corrected = poses[frame.id]
+                        mode = self.cfg.ba_pose_write_back
+                        if mode == "always":
+                            # reference Map::updatePoses semantics
+                            self.map.update_poses(poses)
+                            frame.pose = corrected
+                            if self._graph is not None:
+                                for fid, T in poses.items():
+                                    self._graph.update_pose(fid, T)
+                        elif mode == "gated" and _drift_significant(
+                            self._ba, frame.pose, corrected
+                        ):
+                            # significant drift: correct the NEWEST keyframe
+                            # only; older keyframes (the landmark anchors)
+                            # keep their odometry poses — persisting BA noise
+                            # into the window gauge random-walks the map
+                            self.map.update_pose(frame.id, corrected)
+                            frame.pose = corrected
+                            if self._graph is not None:
+                                self._graph.update_pose(frame.id, corrected)
                 if self._graph is not None:
                     with timer.scope("pipeline.loop_closure"):
                         self._graph.add_keyframe(frame)

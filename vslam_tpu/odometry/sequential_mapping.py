@@ -90,9 +90,34 @@ class ChunkMappingBackend:
         enable_ba: bool = True,
         enable_loop_closure: bool = False,
         ba_max_iterations: int = 20,
+        pose_write_back: str = "gated",  # "gated" | "always" | "off"
+        min_correction: float = 1e-3,
     ):
         from ..features.tracking import FeatureTracking
 
+        # pose_write_back policy. The reference persists every BA solution
+        # into the map and lets it steer tracking (Map::updatePoses,
+        # NodeMapping.cpp:170-175) — mode "always". With a DENSE front end
+        # that is counterproductive in two measured ways (see
+        # tests/test_sequential_mapping_gate.py): (1) the window gauge is the
+        # oldest keyframe, so persisting BA poses re-anchors each round on
+        # last round's BA noise — keyframe pose error random-walks UP
+        # chunk over chunk even on clean data; (2) sparse BA's pose noise
+        # floor (few dozen landmarks) is ~10x the dense aligner's error, so
+        # unconditional write-back INJECTS error into an odometry chain
+        # that is tighter than the correction. Mode "gated" (default):
+        # keyframe poses stay odometry-anchored (no gauge random walk),
+        # landmarks are always refined, and a correction folds into the
+        # device chain + the newest keyframe only when it is statistically
+        # significant under BA's OWN pose covariance (Mahalanobis > chi2_6
+        # at 99%, `_drift_significant`) — i.e. the solver measured real
+        # drift, not its own noise floor. `min_correction` is an absolute
+        # metric floor on top. Mode "off": map-only refinement (no pose
+        # write-back at all).
+        if pose_write_back not in ("gated", "always", "off"):
+            raise ValueError(f"unknown pose_write_back {pose_write_back!r}")
+        self.pose_write_back = pose_write_back
+        self.min_correction = float(min_correction)
         self.map = Map()
         self._tracking = FeatureTracking()
         self._ba = None
@@ -121,6 +146,11 @@ class ChunkMappingBackend:
                 if np.linalg.norm(d[:3]) > max_translation or np.linalg.norm(d[3:]) > max_rotation:
                     return False
         return True
+
+    def _drift_significant(self, est_pose: np.ndarray, corrected: np.ndarray) -> bool:
+        from ..ba.bundle_adjustment import drift_significant
+
+        return drift_significant(self._ba, est_pose, corrected, self.min_correction)
 
     def process_chunk(
         self,
@@ -164,13 +194,26 @@ class ChunkMappingBackend:
                 if self._ba is not None and len(self.map.keyframes()) >= 2:
                     ba_poses, points, err0, err1 = self._ba.optimize(self.map)
                     if err1 < err0 and self._ba_sane(ba_poses):
-                        self.map.update_poses(ba_poses)
                         self.map.update_points(points)
-                        corrected = self.map.keyframes()[0].pose
-                        delta = corrected @ lie_np.inv(est_pose)
-                        if self._graph is not None:
-                            for fid, T in ba_poses.items():
-                                self._graph.update_pose(fid, T)
+                        corrected = ba_poses[frame.id]
+                        d = corrected @ lie_np.inv(est_pose)
+                        if self.pose_write_back == "always":
+                            # reference semantics: persist every BA pose
+                            self.map.update_poses(ba_poses)
+                            delta = d
+                            if self._graph is not None:
+                                for fid, T in ba_poses.items():
+                                    self._graph.update_pose(fid, T)
+                        elif self.pose_write_back == "gated" and self._drift_significant(
+                            est_pose, corrected
+                        ):
+                            # real drift: correct the NEWEST keyframe + the
+                            # device chain; older keyframes (the landmark
+                            # anchors) keep their odometry poses
+                            self.map.update_pose(frame.id, corrected)
+                            delta = d
+                            if self._graph is not None:
+                                self._graph.update_pose(frame.id, corrected)
                 if self._graph is not None:
                     self._graph.add_keyframe(frame)
                     corrections = self._graph.try_close(frame)
