@@ -183,14 +183,23 @@ def mini_kitti(tmp_path_factory):
     """Synthetic stereo mini-KITTI: left images at the trajectory poses,
     right images at a baseline shift along camera +x; depth comes from the
     on-device block matcher — the full --format kitti path."""
-    root = tmp_path_factory.mktemp("mini_kitti")
+    return _build_mini_kitti(tmp_path_factory.mktemp("mini_kitti"), seed=4)
+
+
+@pytest.fixture(scope="module")
+def mini_kitti_b(tmp_path_factory):
+    """Second mini-KITTI root (different trajectory) for the stereo suite."""
+    return _build_mini_kitti(tmp_path_factory.mktemp("mini_kitti_b"), seed=12)
+
+
+def _build_mini_kitti(root, seed):
     seq = root / "sequences" / "00"
     (seq / "image_0").mkdir(parents=True)
     (seq / "image_1").mkdir(parents=True)
     (root / "poses").mkdir()
     BASELINE = 0.54
     K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
-    poses = synthetic.smooth_trajectory(N_FRAMES, trans_amp=0.05, rot_amp=0.015, seed=4)
+    poses = synthetic.smooth_trajectory(N_FRAMES, trans_amp=0.05, rot_amp=0.015, seed=seed)
     p0i = lie_np.inv(poses[0])
     poses = [p @ p0i for p in poses]
 
@@ -292,3 +301,31 @@ def test_cli_kitti_fused_mapping(mini_kitti, tmp_path, capsys):
     res = lines[-1]
     assert "ate_rmse_m" in res, printed
     assert res["ate_rmse_m"] < 0.05, res
+
+def test_cli_kitti_suite(mini_kitti, mini_kitti_b, tmp_path, capsys):
+    """KITTI suite mode: two --dataset roots batch through the multi-sequence
+    fused scan with ON-DEVICE block-matching depth in every sequence's step
+    (raw u8 stereo transport). Shared static stereo baseline is validated;
+    per-sequence trajectories + ATE come back in one JSON summary."""
+    out = str(tmp_path / "ksuite.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_kitti),
+            "--dataset", str(mini_kitti_b),
+            "--format", "kitti",
+            "--sequence", "00",
+            "--fused",
+            "--chunk", "4",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(
+        [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["sequences"] == 2
+    assert summary["frames"] == 2 * N_FRAMES
+    for entry in summary["results"]:
+        assert os.path.exists(entry["trajectory"])
+        assert entry["ate_rmse_m"] < 0.05, entry

@@ -173,15 +173,37 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
 
     if not args.fused:
         log.warning("multiple --dataset implies --fused (batched scan path)")
-    if args.format != "tum":
-        print("multi-dataset mode supports --format tum only", file=sys.stderr)
-        return 2
 
     if cfg.sampler == "gather" and not args.parity:
         cfg = dataclasses.replace(
             cfg, sampler="fused_gn", image_dtype="bfloat16", features_max_points=2048
         )
-    datasets = [tum.TumDataset(d, max_frames=args.max_frames) for d in args.dataset]
+    stereo_baseline = 0.0
+    depth_scale = 1.0
+    if args.format == "kitti":
+        # KITTI suite: each --dataset is a KITTI root; --sequence applies to
+        # all (or pass roots of distinct sequences). Raw u8 stereo pairs in,
+        # block-matching depth on device inside every sequence's scan step.
+        from ..io.kitti import KittiDataset
+
+        datasets = [
+            KittiDataset(d, sequence=args.sequence, max_frames=args.max_frames)
+            for d in args.dataset
+        ]
+        baselines = {round(ds.baseline, 6) for ds in datasets}
+        if len(baselines) > 1:
+            print(
+                f"KITTI suite needs one shared stereo baseline, got {baselines} "
+                "(the batched scan is one static-config program)",
+                file=sys.stderr,
+            )
+            return 2
+        stereo_baseline = datasets[0].baseline
+        streams = [ds.iter_stereo() for ds in datasets]
+    else:
+        datasets = [tum.TumDataset(d, max_frames=args.max_frames) for d in args.dataset]
+        depth_scale = tum.DEPTH_SCALE
+        streams = [ds.iter_raw() for ds in datasets]
     if args.intrinsics:
         fx, fy, cx, cy = (float(x) for x in args.intrinsics.split(","))
         cameras = [Camera.create(fx, fy, cx, cy) for _ in datasets]
@@ -189,7 +211,8 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         cameras = [Camera.create(*ds.intrinsics()) for ds in datasets]
     seq_cfg = SequentialConfig(
         alignment=cfg.alignment_config(),
-        depth_scale=tum.DEPTH_SCALE,
+        stereo_baseline=stereo_baseline,
+        depth_scale=depth_scale,
         prediction_model=cfg.prediction_model,
         n_levels=cfg.pyramid_levels,
         kf_period=cfg.keyframe_selection_idx_period,
@@ -216,7 +239,7 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         "/".join(str(len(d)) for d in datasets),
     )
     t0 = time.perf_counter()
-    all_results = odo.run([ds.iter_raw() for ds in datasets])
+    all_results = odo.run(streams)
     elapsed = time.perf_counter() - t0
     n_total = sum(len(r) for r in all_results)
 

@@ -139,6 +139,7 @@ class KittiDataset:
         max_frames: Optional[int] = None,
         max_disparity: int = 96,
     ):
+        self.root = root
         self.seq_dir = os.path.join(root, "sequences", sequence)
         left_dir = os.path.join(self.seq_dir, "image_0")
         self.left_files = sorted(
