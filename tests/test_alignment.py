@@ -410,6 +410,25 @@ def test_exposure_robust_normalization():
     assert err_n < err_r, (err_n, err_r)
 
 
+def test_standardize_masked_statistics():
+    """_standardize computes its gain/bias over VALID (nonzero) pixels only.
+    On an image with a large zero (invalid / out-of-scene) region, a pure
+    gain/bias change of the valid pixels must cancel EXACTLY: masked stats
+    transform affinely with the data (m' = a*m + b, s' = a*s), while
+    unmasked stats are dragged by the zero floor (the bias never reaches the
+    zeros), leaving a residual photometric offset."""
+    from vslam_tpu.alignment.ic import _standardize
+
+    rng = np.random.default_rng(7)
+    img = np.zeros((32, 48), np.float32)
+    img[4:28, 6:40] = rng.uniform(20.0, 220.0, (24, 34)).astype(np.float32)
+    img2 = np.where(img > 0, img * 1.4 + 12.0, 0.0).astype(np.float32)
+    a = np.asarray(_standardize(jnp.asarray(img)))
+    b = np.asarray(_standardize(jnp.asarray(img2)))
+    valid = img > 0
+    np.testing.assert_allclose(a[valid], b[valid], atol=1e-3)
+
+
 def test_exposure_robust_cached_ref_data():
     """The cached-precompute path (ic.precompute_frame with
     normalize_intensity) matches the in-align path."""

@@ -121,3 +121,27 @@ def test_always_mode_preserves_reference_semantics():
     _run(stream, gt, backend)
     assert backend.n_landmarks > 0
     assert len(backend.map.keyframes()) >= 3
+
+
+def test_light_arrays_scale_float_depth_like_the_scan():
+    """The backend keyframe's depth conversion must mirror the scan step
+    EXACTLY (sequential._step multiplies by cfg.depth_scale whatever the
+    dtype): a float depth-count stream must not silently skip the metres
+    conversion — u16 counts and the same counts as f32 give identical
+    keyframe depth."""
+    import jax.numpy as jnp
+
+    from vslam_tpu.odometry.sequential_mapping import _light_arrays
+
+    rng = np.random.default_rng(11)
+    counts = (rng.uniform(500, 30000, (24, 32))).astype(np.uint16)
+    inten = rng.uniform(0, 255, (24, 32)).astype(np.uint8)
+    kw = dict(depth_scale=1.0 / 5000.0, stereo_baseline=0.0, max_disparity=96)
+    _, d_u16, _ = _light_arrays(jnp.asarray(inten), jnp.asarray(counts), 100.0, **kw)
+    _, d_f32, _ = _light_arrays(
+        jnp.asarray(inten), jnp.asarray(counts.astype(np.float32)), 100.0, **kw
+    )
+    np.testing.assert_allclose(np.asarray(d_u16), np.asarray(d_f32), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(d_u16), counts.astype(np.float32) / 5000.0, rtol=1e-5
+    )

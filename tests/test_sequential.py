@@ -132,6 +132,50 @@ def test_fused_scan_with_mapping_backend():
         np.testing.assert_allclose(T1, T3, atol=1e-9)
 
 
+def test_async_backend_rebase_on_correction():
+    """Async mapping: a correction that folds into the device chain BETWEEN a
+    chunk's solve and that chunk's backend submission must also re-base the
+    poses the backend receives. Otherwise the backend measures the same
+    drift against its landmark map a second time and the write-back gate
+    re-applies it (overshoot, then oscillation). The stub backend returns a
+    fixed world-frame delta for the first chunk and records every pose list
+    it is handed; the next chunk's poses must arrive pre-composed with it."""
+    poses, frames = _make_sequence()
+    delta = np.eye(4)
+    delta[:3, 3] = [0.5, -0.2, 0.1]
+
+    class StubBackend:
+        def __init__(self):
+            self.calls = []
+
+        def process_chunk(self, buf, est_poses, covs, kf_flags, camera, cfg,
+                          device_images=None):
+            self.calls.append([np.asarray(p, np.float64) for p in est_poses])
+            # call 1 = frame-0 seed, call 2 = first real chunk -> correct it
+            return delta if len(self.calls) == 2 else None
+
+    backend = StubBackend()
+    odo = SequentialOdometry(
+        Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2), _seq_cfg(), chunk=4,
+        mapping=backend, async_mapping=True,
+    )
+    results = odo.run((i * DT_NS, f[0], f[1]) for i, f in enumerate(frames))
+    assert len(results) == N_FRAMES
+    # 10 frames: seed (1) + chunk of 4 (frames 1-4) + chunk of 4 (5-8) + tail (9)
+    assert len(backend.calls) >= 3
+    # chunk 2 (frames 5-8) was solved before chunk 1's delta folded into the
+    # device chain; the backend must see its poses in the corrected frame
+    chunk2_traj = [np.asarray(T) for _, T, _ in results[5:9]]
+    for handed, raw in zip(backend.calls[2], chunk2_traj):
+        np.testing.assert_allclose(handed, delta @ raw, atol=1e-12)
+    # ...while the chunk AFTER the fold continues from the corrected chain
+    # directly (no extra re-base): tail frame 9 tracks from a state that
+    # already contains delta, so its pose must carry the correction
+    tail = np.asarray(results[9][1])
+    drift = np.linalg.norm((tail @ lie_np.inv(chunk2_traj[-1]))[:3, 3])
+    assert drift > 0.3, "the fold never reached the device chain"
+
+
 def test_descriptor_bit_packing_roundtrip():
     """pack_bits/unpack_bits/as_float_bits agree with np.unpackbits bit
     order, and the packed transport is lossless."""

@@ -53,10 +53,16 @@ def _level_data_jit(ref_stack: Frame, level: int, cfg: AlignmentConfig):
 
     cam = _Cam(*(jnp.reshape(c, (-1,))[0] for c in ref_stack.cameras[level]))
     budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
+    inten = ref_stack.intensity[level]
+    dIx, dIy = ref_stack.dIx[level], ref_stack.dIy[level]
+    if cfg.normalize_intensity:
+        # the solve ran in standardized photometric space; replayed
+        # residual/weight images must use the same template units
+        inten, dIx, dIy = ic.normalize_level(inten, dIx, dIy)
     return ic.precompute_level(
-        ref_stack.intensity[level],
-        ref_stack.dIx[level],
-        ref_stack.dIy[level],
+        inten,
+        dIx,
+        dIy,
         ref_stack.depth[level],
         cam,
         cfg.min_gradient,
@@ -105,11 +111,9 @@ def _build_align_jit(
     happens on device, so the host->device link moves 4x less data (it is
     the parity pipeline's bottleneck on a remote-attached chip)."""
     from ..core.frame import create_frame as _create_frame
+    from ..core.frame import sensor_to_f32 as _sensor_to_f32
 
-    if jnp.issubdtype(intensity.dtype, jnp.integer):
-        intensity = intensity.astype(jnp.float32)
-    if jnp.issubdtype(depth.dtype, jnp.integer):
-        depth = depth.astype(jnp.float32) * jnp.float32(depth_scale)
+    intensity, depth = _sensor_to_f32(intensity, depth, depth_scale)
     frame = _create_frame(intensity, depth, camera, n_levels=n_levels)
     level_data = ic.precompute_frame(frame, cfg)
     ref_data = tuple(

@@ -98,14 +98,46 @@ class AlignmentConfig:
     normalize_intensity: bool = False
 
 
+def _masked_stats(x: jax.Array, axis=(-2, -1)):
+    """(mean, std) over VALID pixels only — zero is the invalid sentinel
+    throughout the frame pipeline (missing depth, out-of-scene render fill,
+    warp border). Unmasked statistics would give frames with different
+    invalid-area fractions different effective gains, breaking the exact
+    gain/bias cancellation the exposure-robust mode exists for. keepdims so
+    the results broadcast against x."""
+    valid = x > 0.0
+    n = jnp.maximum(jnp.sum(valid, axis=axis, keepdims=True), 1.0)
+    m = jnp.sum(jnp.where(valid, x, 0.0), axis=axis, keepdims=True) / n
+    var = jnp.sum(jnp.where(valid, (x - m) ** 2, 0.0), axis=axis, keepdims=True) / n
+    return m, jnp.sqrt(var)
+
+
 def _standardize(img: jax.Array) -> jax.Array:
     """Per-image photometric standardization to mean 128 / spread 64 (the
     exposure-robust mode, AlignmentConfig.normalize_intensity): a global
-    gain/bias between frames cancels out of the residual. Dtype-preserving."""
+    gain/bias between frames cancels out of the residual. Statistics over
+    valid (nonzero) pixels; per-image along any leading batch axes.
+    Dtype-preserving."""
     x = img.astype(jnp.float32)
-    m = jnp.mean(x)
-    s = jnp.std(x) + 1e-6
-    return ((x - m) / s * 64.0 + 128.0).astype(img.dtype)
+    m, s = _masked_stats(x)
+    return ((x - m) / (s + 1e-6) * 64.0 + 128.0).astype(img.dtype)
+
+
+def normalize_level(inten: jax.Array, dIx: jax.Array, dIy: jax.Array):
+    """Standardize a reference level's template AND scale its gradients by
+    the same linear gain (the steepest-descent rows must live in the
+    normalized photometric units the residual is computed in). Works on
+    (H, W) and stacked (F, H, W) levels; per-frame statistics either way.
+    The ONE definition shared by precompute_frame, the in-align precompute,
+    and the iteration-log replay (aligner._level_data_jit)."""
+    x = inten.astype(jnp.float32)
+    _, s = _masked_stats(x)
+    g = 64.0 / (s + 1e-6)
+    return (
+        _standardize(inten),
+        (dIx.astype(jnp.float32) * g).astype(dIx.dtype),
+        (dIy.astype(jnp.float32) * g).astype(dIy.dtype),
+    )
 
 
 class ICLevelData(NamedTuple):
@@ -228,14 +260,7 @@ def precompute_frame(frame: Frame, cfg: "AlignmentConfig") -> Tuple[ICLevelData,
         budget = cfg.max_points >> (2 * level) if cfg.max_points else 0
         inten, dIx, dIy = frame.intensity[level], frame.dIx[level], frame.dIy[level]
         if cfg.normalize_intensity:
-            # standardize the template AND scale its gradients by the same
-            # linear factor (the steepest-descent rows must live in the
-            # normalized photometric units the residual is computed in)
-            x = inten.astype(jnp.float32)
-            g = 64.0 / (jnp.std(x) + 1e-6)
-            inten = _standardize(inten)
-            dIx = (dIx.astype(jnp.float32) * g).astype(dIx.dtype)
-            dIy = (dIy.astype(jnp.float32) * g).astype(dIy.dtype)
+            inten, dIx, dIy = normalize_level(inten, dIx, dIy)
         out.append(
             precompute_level(
                 inten,
@@ -582,6 +607,11 @@ def iteration_images(
     mask), scattered at the reference frames' interest pixels (background 0).
     """
     H, W = image_cur.shape
+    if cfg is not None and cfg.normalize_intensity:
+        # the solve ran in standardized photometric space; the replayed
+        # residuals/weights must too (data's template is standardized by
+        # aligner._level_data_jit via normalize_level)
+        image_cur = _standardize(image_cur)
     rel0 = SE3(rel0_R, rel0_t)
     rel = se3.compose(rel0, _broadcast(se3.exp(x_it), rel0))
     u, v, visible = _warp_visibility(data, rel, (H, W), cam_cur)
@@ -670,11 +700,7 @@ def align(
             if cfg.normalize_intensity:
                 # per-frame standardization along the F axis (see
                 # precompute_frame); gradients scaled by the same factor
-                x = inten_r.astype(jnp.float32)
-                g = 64.0 / (jnp.std(x, axis=(-2, -1), keepdims=True) + 1e-6)
-                inten_r = jax.vmap(_standardize)(inten_r)
-                dIx_r = (dIx_r.astype(jnp.float32) * g).astype(dIx_r.dtype)
-                dIy_r = (dIy_r.astype(jnp.float32) * g).astype(dIy_r.dtype)
+                inten_r, dIx_r, dIy_r = normalize_level(inten_r, dIx_r, dIy_r)
             data = precompute_level(
                 inten_r,
                 dIx_r,

@@ -275,10 +275,15 @@ class BundleAdjustment:
     keyed by id (the reference's Results::poses/positions,
     BundleAdjustment.h:34-45)."""
 
-    def __init__(self, max_iterations: int = 50):
+    def __init__(self, max_iterations: int = 50, compute_pose_covariance: bool = True):
         self.max_iterations = int(max_iterations)
         # 6x6 covariance (right-mult tangent, residual-variance scaled) of
-        # the newest keyframe from the LAST optimize() call
+        # the newest keyframe from the LAST optimize() call. The covariance
+        # costs a second Schur assembly + a dense solve + a blocking fetch
+        # per optimize(); its only consumer is the "gated" write-back policy,
+        # so callers in "always"/"off" modes pass compute_pose_covariance=
+        # False to keep it off the mapping backend's critical path.
+        self.compute_pose_covariance = bool(compute_pose_covariance)
         self.last_newest_cov: Optional[np.ndarray] = None
 
     @staticmethod
@@ -384,11 +389,14 @@ class BundleAdjustment:
         # scale is physically meaningful). Consumers (the gated write-back
         # in sequential_mapping) use it to tell real drift from the BA
         # noise floor. Right-multiplicative tangent: pose_new = pose.exp(d).
-        slot_newest = int(inv_order[0])
-        cov = pose_covariance(problem, poses_out, points_out, slot_newest)
-        n_res = 2 * len(obs) + int(np.sum(obs_arr[: len(obs), 4] > 0))
-        dof = max(n_res - (6 * (K - 1) + 3 * len(pts)), 1)
-        sigma2 = float(err1) / dof
-        self.last_newest_cov = np.asarray(jax.device_get(cov), np.float64) * sigma2
+        if self.compute_pose_covariance:
+            slot_newest = int(inv_order[0])
+            cov = pose_covariance(problem, poses_out, points_out, slot_newest)
+            n_res = 2 * len(obs) + int(np.sum(obs_arr[: len(obs), 4] > 0))
+            dof = max(n_res - (6 * (K - 1) + 3 * len(pts)), 1)
+            sigma2 = float(err1) / dof
+            self.last_newest_cov = np.asarray(jax.device_get(cov), np.float64) * sigma2
+        else:
+            self.last_newest_cov = None
 
         return pose_updates, point_updates, float(err0), float(err1)

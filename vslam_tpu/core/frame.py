@@ -31,7 +31,25 @@ from . import se3
 from .camera import Camera
 from .se3 import SE3
 
-__all__ = ["Frame", "create_frame", "frame_pcl", "num_levels"]
+__all__ = ["Frame", "create_frame", "frame_pcl", "num_levels", "sensor_to_f32"]
+
+
+def sensor_to_f32(intensity: jax.Array, depth: jax.Array, depth_scale: float = 1.0):
+    """Native sensor dtype -> (f32 intensity, metric f32 depth), on device.
+
+    u8 gray / u16 depth-count frames cross the host->device link raw (4x
+    fewer bytes — the transport the reference's cv::IMREAD_GRAYSCALE / TUM
+    depth PNGs actually carry) and convert here; float inputs pass through
+    unchanged (already metric). This is the ONE definition of the conversion:
+    both the hot fused step (aligner._build_align_jit) and the fallback /
+    first-frame build (pipeline._build) call it, so the keyframe and current
+    frames stay photometrically identical by construction.
+    """
+    if jnp.issubdtype(intensity.dtype, jnp.integer):
+        intensity = intensity.astype(jnp.float32)
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        depth = depth.astype(jnp.float32) * jnp.float32(depth_scale)
+    return intensity, depth
 
 
 class Frame(NamedTuple):

@@ -251,8 +251,15 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         "git_sha": _git_sha(),
     }
     per_seq = []
-    for ds, results in zip(datasets, all_results):
-        name = os.path.basename(os.path.normpath(ds.root))
+    # disambiguate duplicate basenames (e.g. /runA/kitti + /runB/kitti) so
+    # no two sequences write the same trajectory file
+    names = [os.path.basename(os.path.normpath(ds.root)) for ds in datasets]
+    seen: dict = {}
+    for i, name in enumerate(names):
+        if names.count(name) > 1:
+            seen[name] = seen.get(name, 0) + 1
+            names[i] = f"{name}.{seen[name]}"
+    for name, ds, results in zip(names, datasets, all_results):
         est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}
         covs = {t / 1e9: c for t, _, c in results}
         out = f"{out_prefix}_{name}.txt"
@@ -261,7 +268,12 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         if ds.groundtruth and not args.no_eval:
             from . import metrics
 
-            entry.update(metrics.summarize(ds.groundtruth, est))
+            try:
+                entry.update(metrics.summarize(ds.groundtruth, est))
+            except ValueError as exc:
+                # e.g. a sequence too short for any RPE pair — record the
+                # failure per sequence instead of losing the whole summary
+                entry["eval_error"] = str(exc)
         per_seq.append(entry)
     summary["results"] = per_seq
     with open(out_prefix + "_suite.meta.json", "w") as f:

@@ -79,7 +79,24 @@ def estimate_rel_3d3d(
     mu_o = po.mean(axis=1, keepdims=True)
     mu_n = pn.mean(axis=1, keepdims=True)
     W = np.einsum("kij,kil->kjl", po - mu_o, pn - mu_n)  # (K, 3, 3)
-    U, _, Vt = np.linalg.svd(W)
+    # robustness: one NaN-contaminated or degenerate triple must not abort
+    # the whole hypothesis stack (np.linalg.svd raises for the full batch).
+    # Non-finite W rows are replaced by identity and their inliers zeroed;
+    # if the batched SVD still fails to converge, fall back to scoring
+    # hypotheses one by one, skipping the offenders.
+    bad = ~np.isfinite(W).all(axis=(1, 2))
+    if bad.any():
+        W = np.where(bad[:, None, None], np.eye(3), W)
+    try:
+        U, _, Vt = np.linalg.svd(W)
+    except np.linalg.LinAlgError:
+        U = np.repeat(np.eye(3)[None], iterations, axis=0)
+        Vt = np.repeat(np.eye(3)[None], iterations, axis=0)
+        for k in range(iterations):
+            try:
+                U[k], _, Vt[k] = np.linalg.svd(W[k])
+            except np.linalg.LinAlgError:
+                bad[k] = True
     det = np.linalg.det(np.einsum("kij,kjl->kil", U, Vt))
     S = np.repeat(np.eye(3)[None], iterations, axis=0)
     S[:, 2, 2] = np.sign(det) + (det == 0)
@@ -88,7 +105,9 @@ def estimate_rel_3d3d(
     pred = np.einsum("kij,nj->kni", R_all, p_old) + t_all[:, None, :]
     err = np.linalg.norm(pred - p_new[None], axis=2)  # (K, N)
     inl_all = err < threshold
+    inl_all[bad] = False
     best_inl = inl_all[np.argmax(inl_all.sum(axis=1))]
+    R, t = np.eye(3), np.zeros(3)  # no-consensus fallback (caller checks inliers)
     if best_inl.sum() >= 3:
         R, t = align_horn(p_old[best_inl], p_new[best_inl])
         err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)

@@ -72,11 +72,11 @@ class OdometryPipeline:
             # whenever this frame serves as an alignment reference.
             from ..alignment import ic as _ic
 
-            # native-dtype transport: u8/u16 frames convert on device
-            if jnp.issubdtype(intensity.dtype, jnp.integer):
-                intensity = intensity.astype(jnp.float32)
-            if jnp.issubdtype(depth.dtype, jnp.integer):
-                depth = depth.astype(jnp.float32) * jnp.float32(cfg.depth_scale)
+            # native-dtype transport: u8/u16 frames convert on device (shared
+            # definition with the fused step — core.frame.sensor_to_f32)
+            from ..core.frame import sensor_to_f32 as _sensor_to_f32
+
+            intensity, depth = _sensor_to_f32(intensity, depth, cfg.depth_scale)
             frame = create_frame(intensity, depth, camera, n_levels=cfg.pyramid_levels)
             return frame, _ic.precompute_frame(frame, align_cfg)
 
@@ -99,7 +99,10 @@ class OdometryPipeline:
         if cfg.enable_mapping:
             from ..ba.bundle_adjustment import BundleAdjustment
 
-            self._ba = BundleAdjustment(max_iterations=cfg.ba_max_iterations)
+            self._ba = BundleAdjustment(
+                max_iterations=cfg.ba_max_iterations,
+                compute_pose_covariance=(cfg.ba_pose_write_back == "gated"),
+            )
         if cfg.enable_loop_closure:
             from .graph_backend import PoseGraphBackend
 

@@ -343,23 +343,28 @@ class SequentialOdometry:
         staged = self._last_staged
         results = self._collect(*nxt)
         kf_flags = list(self._last_kf_flags)
-        args = (
-            buf,
-            [r[1] for r in results],
-            [r[2] for r in results],
-            kf_flags,
-            self.camera,
-            self.cfg,
-        )
+        est_poses = [r[1] for r in results]
         kwargs = {"device_images": staged}
         if self.async_mapping:
             # fold in the PREVIOUS chunk's correction (its backend ran while
-            # this chunk was solving), then hand this chunk to the worker
-            self._drain_backend()
+            # this chunk was solving), then hand this chunk to the worker.
+            # This chunk was SOLVED before the correction landed, so the
+            # poses the backend sees must be re-based into the corrected
+            # frame — otherwise BA re-measures the same drift against the
+            # landmark map and the gate folds it a second time (overshoot,
+            # then oscillation). Synchronous mode is immune: its poses
+            # always predate their own chunk's correction only.
+            delta_prev = self._drain_backend()
+            if delta_prev is not None:
+                est_poses = [delta_prev @ p for p in est_poses]
+            args = (buf, est_poses, [r[2] for r in results], kf_flags,
+                    self.camera, self.cfg)
             self._backend_future = self._executor.submit(
                 self.mapping.process_chunk, *args, **kwargs
             )
         else:
+            args = (buf, est_poses, [r[2] for r in results], kf_flags,
+                    self.camera, self.cfg)
             delta = self.mapping.process_chunk(*args, **kwargs)
             if delta is not None:
                 # the trajectory keeps this chunk's odometry estimates (the
@@ -368,13 +373,16 @@ class SequentialOdometry:
                 self._apply_correction(delta)
         return results
 
-    def _drain_backend(self) -> None:
-        """Apply the pending async backend correction, if any."""
+    def _drain_backend(self) -> Optional[np.ndarray]:
+        """Apply the pending async backend correction, if any. Returns the
+        folded delta (callers re-base already-solved poses with it)."""
         if self._backend_future is not None:
             delta = self._backend_future.result()
             self._backend_future = None
             if delta is not None:
                 self._apply_correction(delta)
+                return np.asarray(delta, np.float64)
+        return None
 
     def _dispatch(self, buf):
         K = self.chunk

@@ -50,10 +50,11 @@ def _light_arrays(
             inten, second.astype(jnp.float32), fx, stereo_baseline,
             max_disparity=max_disparity,
         )
-    elif jnp.issubdtype(second.dtype, jnp.integer):
-        depth = second.astype(jnp.float32) * jnp.float32(depth_scale)
     else:
-        depth = second
+        # mirror the scan step EXACTLY (sequential._step scales depth by
+        # cfg.depth_scale unconditionally, whatever its dtype) — a float
+        # depth-count stream must not silently skip the metres conversion
+        depth = second.astype(jnp.float32) * jnp.float32(depth_scale)
     return inten, depth, jnp.zeros_like(inten)
 
 
@@ -125,7 +126,11 @@ class ChunkMappingBackend:
         if enable_ba:
             from ..ba.bundle_adjustment import BundleAdjustment
 
-            self._ba = BundleAdjustment(max_iterations=ba_max_iterations)
+            self._ba = BundleAdjustment(
+                max_iterations=ba_max_iterations,
+                # the Mahalanobis gate is the covariance's only consumer
+                compute_pose_covariance=(pose_write_back == "gated"),
+            )
         if enable_loop_closure:
             from .graph_backend import PoseGraphBackend
 

@@ -195,7 +195,14 @@ class MultiSequenceOdometry:
         cov 6x6 f64) — the same contract as `SequentialOdometry.run`."""
         its = [iter(s) for s in streams]
         S = len(its)
-        firsts = [next(it) for it in its]
+        firsts = []
+        for s, it in enumerate(its):
+            try:
+                firsts.append(next(it))
+            except StopIteration:
+                raise ValueError(
+                    f"sequence {s} yielded no frames (empty dataset / bad path?)"
+                ) from None
         H, W = np.asarray(firsts[0][1]).shape
         for s, f in enumerate(firsts):
             if np.asarray(f[1]).shape != (H, W):
@@ -282,8 +289,18 @@ class MultiSequenceOdometry:
                 if self.async_mapping:
                     # fold chunk k-1's corrections while the device is busy
                     # with chunk k (they shape tracking from chunk k+1 on)
-                    states = self._drain_backends(states)
+                    states, prev_deltas = self._drain_backends(states)
                 rows = self._collect(out, stamps, poses, cov, is_kf)
+                if self.async_mapping and prev_deltas:
+                    # chunk k was SOLVED before chunk k-1's correction landed:
+                    # re-base the poses handed to the backends into the
+                    # corrected frame, so BA doesn't re-measure (and the gate
+                    # doesn't re-apply) the same drift — see
+                    # SequentialOdometry._run_chunk_mapped
+                    kf_rows, results = rows
+                    for s, d in prev_deltas.items():
+                        results[s] = [(t, d @ T, c) for (t, T, c) in results[s]]
+                    rows = (kf_rows, results)
                 work = (rows, stamps, inten, depth, args[1], args[2])
                 if self.async_mapping:
                     self._backend_futures = self._submit_backends(*work)
@@ -301,7 +318,7 @@ class MultiSequenceOdometry:
         if pending is not None:
             self._collect(out, *pending)
         if self.async_mapping:
-            states = self._drain_backends(states)  # surface errors, finish maps
+            states, _ = self._drain_backends(states)  # surface errors, finish maps
         return out
 
     def _backend_args(self, rows, stamps, inten, depth, inten_dev, depth_dev):
@@ -349,16 +366,18 @@ class MultiSequenceOdometry:
         ]
 
     def _drain_backends(self, states):
-        """Collect the previous chunk's backend futures, fold corrections."""
+        """Collect the previous chunk's backend futures, fold corrections.
+        Returns (states, per-sequence deltas) — callers re-base poses that
+        were solved before the fold."""
         if not self._backend_futures:
-            return states
+            return states, {}
         deltas = {}
         for s, fut in self._backend_futures:
             delta = fut.result()
             if delta is not None:
                 deltas[s] = np.asarray(delta, np.float64)
         self._backend_futures = None
-        return self._fold(states, deltas)
+        return self._fold(states, deltas), deltas
 
     def _fold(self, states, deltas):
         if not deltas:
