@@ -106,3 +106,13 @@ def test_trajectory_interpolation():
     np.testing.assert_allclose(mid, want, atol=1e-9)
     rel = tr.motion_between(0, 1_000_000_000)
     np.testing.assert_allclose(rel, lie_np.exp(xi), atol=1e-12)
+
+
+def test_suite_unique_output_names():
+    """Two --dataset roots with the same leaf directory name must not write
+    the same trajectory file (silent overwrite)."""
+    from vslam_tpu.eval.evaluate import _unique_names
+
+    assert _unique_names(["/a/fr2", "/b/kitti", "/c/tum"]) == ["fr2", "kitti", "tum"]
+    assert _unique_names(["/runA/kitti", "/runB/kitti/"]) == ["kitti.1", "kitti.2"]
+    assert _unique_names(["/x/s", "/y/s", "/z/other"]) == ["s.1", "s.2", "other"]

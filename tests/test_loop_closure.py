@@ -145,3 +145,21 @@ def test_database_rejects_unrelated_views():
     f1 = _host_frame(far, far, scene, t_ns=1)
     cand = db.query(f1)
     assert cand is None
+
+
+def test_estimate_rel_3d3d_survives_degenerate_hypotheses():
+    """NaN-contaminated or collinear point triples among the RANSAC
+    hypotheses must not abort the whole batched-Horn stack (np.linalg.svd
+    raises for the full (K,3,3) batch): the remaining hypotheses still find
+    the transform."""
+    rng = np.random.default_rng(5)
+    R = lie_np.exp(np.array([0.05, -0.2, 0.1, 0.2, -0.1, 0.15]))[:3, :3]
+    t = np.array([0.3, -0.1, 0.2])
+    p_old = rng.uniform(-1, 1, (40, 3))
+    p_old[::7] = np.nan  # contaminated rows land in many sampled triples
+    p_new = np.where(np.isfinite(p_old), p_old @ R.T + t, np.nan)
+    T, inl = estimate_rel_3d3d(p_old, p_new, iterations=200, threshold=0.05)
+    finite = np.isfinite(p_old).all(axis=1)
+    assert inl.sum() >= 0.9 * finite.sum(), (inl.sum(), finite.sum())
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-6)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-6)

@@ -158,6 +158,24 @@ def _cmd_odometry(args) -> int:
     return 0
 
 
+def _unique_names(roots) -> list:
+    """Per-sequence output names from dataset roots: basename, disambiguated
+    with a .N suffix when two roots share a leaf directory name (e.g.
+    /runA/kitti + /runB/kitti) — no two sequences may write the same
+    trajectory file."""
+    names = [os.path.basename(os.path.normpath(r)) for r in roots]
+    dup = {n for n in names if names.count(n) > 1}
+    seen: dict = {}
+    out = []
+    for n in names:
+        if n in dup:
+            seen[n] = seen.get(n, 0) + 1
+            out.append(f"{n}.{seen[n]}")
+        else:
+            out.append(n)
+    return out
+
+
 def _cmd_odometry_multi(args, cfg, log) -> int:
     """Batched suite evaluation: S TUM sequences advanced in lock-step by the
     multi-sequence fused scan (`parallel.sequences`) — one device dispatch
@@ -251,14 +269,7 @@ def _cmd_odometry_multi(args, cfg, log) -> int:
         "git_sha": _git_sha(),
     }
     per_seq = []
-    # disambiguate duplicate basenames (e.g. /runA/kitti + /runB/kitti) so
-    # no two sequences write the same trajectory file
-    names = [os.path.basename(os.path.normpath(ds.root)) for ds in datasets]
-    seen: dict = {}
-    for i, name in enumerate(names):
-        if names.count(name) > 1:
-            seen[name] = seen.get(name, 0) + 1
-            names[i] = f"{name}.{seen[name]}"
+    names = _unique_names([ds.root for ds in datasets])
     for name, ds, results in zip(names, datasets, all_results):
         est = {t / 1e9: np.linalg.inv(p) for t, p, _ in results}
         covs = {t / 1e9: c for t, _, c in results}
