@@ -116,3 +116,45 @@ def test_suite_unique_output_names():
     assert _unique_names(["/a/fr2", "/b/kitti", "/c/tum"]) == ["fr2", "kitti", "tum"]
     assert _unique_names(["/runA/kitti", "/runB/kitti/"]) == ["kitti.1", "kitti.2"]
     assert _unique_names(["/x/s", "/y/s", "/z/other"]) == ["s.1", "s.2", "other"]
+
+
+def test_cli_ate_rpe_subcommands(tmp_path, capsys):
+    """The `ate` / `rpe` CLI subcommands (the reference evaluate_ate.py /
+    evaluate_rpe.py interfaces): verbose statistics blocks in the scripts'
+    formats, --save files written."""
+    from vslam_tpu.eval.evaluate import main
+    from vslam_tpu.io import tum
+
+    gt = make_traj(40, seed=1)
+    rng = np.random.default_rng(2)
+    est = {
+        t: lie_np.exp(np.concatenate([rng.normal(0, 2e-3, 3), np.zeros(3)])) @ T
+        for t, T in gt.items()
+    }
+    gt_f, est_f = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    tum.write_trajectory(gt_f, gt)
+    tum.write_trajectory(est_f, est)
+
+    save = str(tmp_path / "aligned.txt")
+    rc = main(["ate", "--gt", gt_f, "--algo", est_f, "--verbose", "--save", save])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compared_pose_pairs 40 pairs" in out
+    rmse = [l for l in out.splitlines() if l.startswith("absolute_translational_error.rmse")]
+    assert rmse and float(rmse[0].split()[1]) < 0.01
+    assert np.loadtxt(save).shape == (40, 4)
+
+    pairs = str(tmp_path / "pairs.txt")
+    rc = main([
+        "rpe", "--gt", gt_f, "--algo", est_f, "--fixed-delta",
+        "--delta", "0.3", "--verbose", "--save", pairs,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "translational_error.rmse" in out and "rotational_error.rmse" in out
+    assert np.loadtxt(pairs).shape[1] == 6
+
+    # bare mode prints one number (reference parity: ate=rmse, rpe=mean)
+    rc = main(["ate", "--gt", gt_f, "--algo", est_f])
+    assert rc == 0
+    float(capsys.readouterr().out.strip())

@@ -127,3 +127,56 @@ def test_rpe_distance_units_consistency(traj_files, unit):
     assert np.median(spans) < 0.5
     stats = metrics.rpe_stats(rows)
     assert stats["translational_error.rmse"] < 0.05
+
+
+REF_ATE = "/root/reference/script/vslam_evaluation/tum/evaluate_ate.py"
+
+
+def _run_reference_ate(gt_f, est_f, *args):
+    save = gt_f + ".ate_aligned"
+    assoc = gt_f + ".ate_assoc"
+    cmd = [
+        sys.executable, REF_ATE, gt_f, est_f,
+        "--save", save, "--save_associations", assoc, "--verbose", *args,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    stats = {}
+    for line in out.stdout.splitlines():
+        parts = line.split()
+        if len(parts) >= 2 and "." in parts[0]:
+            stats[parts[0]] = float(parts[1])
+        elif parts and parts[0] == "compared_pose_pairs":
+            stats[parts[0]] = int(parts[1])
+    return np.loadtxt(save), np.loadtxt(assoc), stats
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_ATE), reason="reference script absent")
+@pytest.mark.parametrize(
+    "ref_args, kwargs",
+    [
+        ([], dict()),
+        (["--offset", "0.005"], dict(offset=0.005)),
+        (["--scale", "1.25"], dict(scale=1.25)),
+        (["--max_difference", "0.01"], dict(max_difference=0.01)),
+    ],
+    ids=["default", "offset", "scale", "max_difference"],
+)
+def test_ate_protocol_matches_reference_script(traj_files, ref_args, kwargs):
+    """metrics.evaluate_ate_full vs the reference's own evaluate_ate.py
+    (the program that defines the published 0.21 m ATE), option-for-option:
+    same association, same Horn alignment, same statistics, same --save /
+    --save_associations row contents."""
+    gt_f, est_f = traj_files
+    ref_full, ref_assoc, ref_stats = _run_reference_ate(gt_f, est_f, *ref_args)
+    gt = tum.read_trajectory(gt_f)
+    est = tum.read_trajectory(est_f)
+    stats, assoc, full = metrics.evaluate_ate_full(gt, est, **kwargs)
+
+    assert stats["compared_pose_pairs"] == ref_stats["compared_pose_pairs"]
+    for key, val in ref_stats.items():
+        if key == "compared_pose_pairs":
+            continue
+        assert abs(stats[key] - val) < 1e-4 * max(1.0, abs(val)), key
+    np.testing.assert_allclose(assoc, np.atleast_2d(ref_assoc), atol=2e-6)
+    np.testing.assert_allclose(full, np.atleast_2d(ref_full), atol=2e-6)

@@ -331,6 +331,84 @@ def _cmd_evaluate(args) -> int:
     return 0
 
 
+def _cmd_ate(args) -> int:
+    """`vslam-run ate` — the reference's evaluate_ate.py interface,
+    option-for-option (`script/vslam_evaluation/tum/evaluate_ate.py:116-162`):
+    prints the bare RMSE by default, the full statistics block with
+    --verbose, and writes the --save / --save-associations files in the
+    script's exact formats."""
+    import numpy as np
+
+    from ..io import tum
+    from . import metrics
+
+    gt = tum.read_trajectory(args.gt)
+    est = tum.read_trajectory(args.algo)
+    try:
+        stats, assoc, full = metrics.evaluate_ate_full(
+            gt, est, offset=args.offset, scale=args.scale,
+            max_difference=args.max_difference,
+        )
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    if args.save:
+        np.savetxt(args.save, full, fmt="%f")
+    if args.save_associations:
+        np.savetxt(args.save_associations, assoc, fmt="%f")
+    if args.plot:
+        from . import plot
+
+        plot.plot_trajectory(gt, est, args.plot)
+    if args.verbose:
+        print("compared_pose_pairs %d pairs" % stats["compared_pose_pairs"])
+        for key, val in stats.items():
+            if key != "compared_pose_pairs":
+                print("%s %f m" % (key, val))
+    else:
+        print("%f" % stats["absolute_translational_error.rmse"])
+    return 0
+
+
+def _cmd_rpe(args) -> int:
+    """`vslam-run rpe` — the reference's evaluate_rpe.py interface,
+    option-for-option (`script/vslam_evaluation/tum/evaluate_rpe.py:298-367`):
+    delta units s/m/rad/deg/f, fixed-delta or sampled all-pairs, offset,
+    scale, --save per-pair dump, --verbose statistics block (translational
+    in m, rotational in deg; the bare default prints the trans RMSE)."""
+    import numpy as np
+
+    from ..io import tum
+    from . import metrics
+
+    gt = tum.read_trajectory(args.gt)
+    est = tum.read_trajectory(args.algo)
+    try:
+        rows = metrics.evaluate_rpe_full(
+            gt, est, max_pairs=args.max_pairs, fixed_delta=args.fixed_delta,
+            delta=args.delta, delta_unit=args.delta_unit, offset=args.offset,
+            scale=args.scale,
+        )
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    if args.save:
+        np.savetxt(args.save, rows, fmt="%f")
+    stats = metrics.rpe_stats(rows)
+    if args.verbose:
+        print("compared_pose_pairs %d pairs" % stats["compared_pose_pairs"])
+        for key, val in stats.items():
+            if key == "compared_pose_pairs":
+                continue
+            unit = "m" if key.startswith("translational") else "deg"
+            print("%s %f %s" % (key, val, unit))
+    else:
+        # the reference's bare output is the MEAN translational error
+        # (evaluate_rpe.py:367), not the RMSE — kept for parity
+        print("%f" % stats["translational_error.mean"])
+    return 0
+
+
 def _cmd_synthetic(args) -> int:
     import numpy as np
 
@@ -469,6 +547,38 @@ def main(argv=None) -> int:
     p.add_argument("--max-difference", type=float, default=0.02)
     p.add_argument("--plot", action="store_true", help="write traj/rpe PNGs next to --algo")
     p.set_defaults(fn=_cmd_evaluate)
+
+    p = sub.add_parser(
+        "ate", help="ATE, the reference evaluate_ate.py interface"
+    )
+    p.add_argument("--gt", required=True, help="ground truth trajectory (TUM format)")
+    p.add_argument("--algo", required=True, help="estimated trajectory (TUM format)")
+    p.add_argument("--offset", type=float, default=0.0)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--max-difference", type=float, default=0.02)
+    p.add_argument("--save", help="aligned estimated trajectory (stamp x y z)")
+    p.add_argument(
+        "--save-associations",
+        help="associated gt + aligned est (stamp1 xyz1 stamp2 xyz2)",
+    )
+    p.add_argument("--plot", help="png path for the gt-vs-aligned plot")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=_cmd_ate)
+
+    p = sub.add_parser(
+        "rpe", help="RPE, the reference evaluate_rpe.py interface"
+    )
+    p.add_argument("--gt", required=True, help="ground truth trajectory (TUM format)")
+    p.add_argument("--algo", required=True, help="estimated trajectory (TUM format)")
+    p.add_argument("--max-pairs", type=int, default=10000)
+    p.add_argument("--fixed-delta", action="store_true")
+    p.add_argument("--delta", type=float, default=1.0)
+    p.add_argument("--delta-unit", default="s", choices=["s", "m", "rad", "deg", "f"])
+    p.add_argument("--offset", type=float, default=0.0)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--save", help="per-pair dump (the reference --save format)")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=_cmd_rpe)
 
     p = sub.add_parser("synthetic", help="dataset-free end-to-end run")
     p.add_argument("--frames", type=int, default=20)

@@ -113,6 +113,65 @@ def ate_rmse(
     return float(np.sqrt(np.mean(np.sum(err * err, axis=1)))), len(matches)
 
 
+def evaluate_ate_full(
+    gt: Dict[float, np.ndarray],
+    est: Dict[float, np.ndarray],
+    offset: float = 0.0,
+    scale: float = 1.0,
+    max_difference: float = 0.02,
+) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
+    """The complete ATE protocol of the reference's TUM script
+    (`/root/reference/script/vslam_evaluation/tum/evaluate_ate.py:118-162`),
+    option-for-option: associate with a time offset on the estimated stamps,
+    scale the estimated xyz, Horn-align estimate onto ground truth over the
+    MATCHED pairs, per-pair translational errors.
+
+    Returns (stats, assoc_rows, aligned_full):
+    - stats: the --verbose keys (compared_pose_pairs +
+      absolute_translational_error.{rmse,mean,median,std,min,max});
+    - assoc_rows (N, 8): [stamp_gt, gt xyz, stamp_est, aligned est xyz] —
+      the --save_associations format;
+    - aligned_full (M, 4): [stamp_est, aligned est xyz] over ALL estimated
+      stamps (not just matches) — the --save format.
+    """
+    ts_g = sorted(gt.keys())
+    ts_e = sorted(est.keys())
+    matches = associate(ts_g, ts_e, offset=offset, max_difference=max_difference)
+    if len(matches) < 2:
+        raise ValueError(
+            "Couldn't find matching timestamp pairs between groundtruth and "
+            "estimated trajectory!"
+        )
+    P_g = np.stack([gt[ts_g[ia]][:3, 3] for ia, _ in matches])
+    P_e = np.stack([est[ts_e[ib]][:3, 3] for _, ib in matches]) * scale
+    R, t = align_horn(P_e, P_g)
+    aligned = P_e @ R.T + t
+    err = np.linalg.norm(aligned - P_g, axis=1)
+    stats = {
+        "compared_pose_pairs": int(len(matches)),
+        "absolute_translational_error.rmse": float(np.sqrt(np.mean(err**2))),
+        "absolute_translational_error.mean": float(np.mean(err)),
+        "absolute_translational_error.median": float(np.median(err)),
+        "absolute_translational_error.std": float(np.std(err)),
+        "absolute_translational_error.min": float(np.min(err)),
+        "absolute_translational_error.max": float(np.max(err)),
+    }
+    assoc_rows = np.concatenate(
+        [
+            np.asarray([ts_g[ia] for ia, _ in matches])[:, None],
+            P_g,
+            np.asarray([ts_e[ib] for _, ib in matches])[:, None],
+            aligned,
+        ],
+        axis=1,
+    )
+    full = np.stack([est[s][:3, 3] for s in ts_e]) * scale
+    aligned_full = np.concatenate(
+        [np.asarray(ts_e)[:, None], full @ R.T + t], axis=1
+    )
+    return stats, assoc_rows, aligned_full
+
+
 def rpe(
     gt: Dict[float, np.ndarray],
     est: Dict[float, np.ndarray],
