@@ -16,7 +16,50 @@ import time
 import numpy as np
 
 
+def _probe_platform(timeout_s: float) -> str:
+    """jax.devices()[0].platform via a SUBPROCESS with a bounded wait: a dead
+    remote-TPU tunnel hangs device init indefinitely, which would leave the
+    driver with no JSON line at all. Returns '' on timeout/failure."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return ""
+
+
 def main():
+    # Fail HONESTLY (one JSON line + nonzero exit) instead of hanging when
+    # the TPU is unreachable: the remote-attached chip comes through a tunnel
+    # that has had multi-hour outages mid-round.
+    platform = _probe_platform(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
+    if not platform:
+        print(json.dumps({
+            "metric": "aligned frame-pairs/sec/chip (DEVICE UNREACHABLE)",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "jax device init did not complete within the probe "
+                     "timeout (remote-TPU tunnel down?)",
+        }))
+        return 1
+    if platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        print(json.dumps({
+            "metric": "aligned frame-pairs/sec/chip (NO TPU: cpu backend)",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "only the CPU backend is available; the 480x640 bench "
+                     "is sized for a TPU chip (set BENCH_ALLOW_CPU=1 to force)",
+        }))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -691,4 +734,4 @@ def bench_kitti():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
