@@ -206,3 +206,42 @@ def test_multi_sequence_per_sequence_intrinsics():
     )
     assert _ate(poses1, res[0]) < 0.01
     assert _ate(poses, res[1]) < 0.01
+
+
+def test_multiseq_async_backend_rebase_on_correction():
+    """Multi-sequence async mapping: a correction folded between a chunk's
+    solve and its backend submission must re-base THAT sequence's poses (and
+    only that sequence's) into the corrected frame — the multi-sequence
+    analog of SequentialOdometry's re-base (see test_sequential.py)."""
+    cfg = _seq_cfg()
+    poses_a, stream_a = _make_stream(9, seed=0)
+    poses_b, stream_b = _make_stream(9, seed=3)
+    delta = np.eye(4)
+    delta[:3, 3] = [0.4, 0.1, -0.2]
+
+    class StubBackend:
+        def __init__(self, correct_first_chunk):
+            self.calls = []
+            self.correct = correct_first_chunk
+
+        def process_chunk(self, buf, est_poses, covs, kf_flags, camera, cfg,
+                          device_images=None):
+            self.calls.append([np.asarray(p, np.float64) for p in est_poses])
+            # call 1 = frame-0 seed, call 2 = first real chunk
+            return delta if (self.correct and len(self.calls) == 2) else None
+
+    backends = [StubBackend(True), StubBackend(False)]
+    multi = mseq.MultiSequenceOdometry(
+        [_cam(), _cam()], cfg, chunk=4, mappings=backends, async_mapping=True
+    )
+    res = multi.run([stream_a, stream_b])
+    assert len(backends[0].calls) >= 3 and len(backends[1].calls) >= 3
+    # sequence 0: chunk 2 (frames 5-8) was solved before its chunk-1 delta
+    # folded; the backend must see re-based poses
+    chunk2_a = [np.asarray(T) for _, T, _ in res[0][5:9]]
+    for handed, raw in zip(backends[0].calls[2], chunk2_a):
+        np.testing.assert_allclose(handed, delta @ raw, atol=1e-12)
+    # sequence 1 had no correction: its poses arrive unmodified
+    chunk2_b = [np.asarray(T) for _, T, _ in res[1][5:9]]
+    for handed, raw in zip(backends[1].calls[2], chunk2_b):
+        np.testing.assert_allclose(handed, raw, atol=1e-12)
