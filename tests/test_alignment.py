@@ -476,3 +476,40 @@ def test_exposure_robust_composes_with_fused_gn():
     assert ok
     err = np.linalg.norm(lie_np.log(lie_np.relative(pose_est, pose_cur)))
     assert err < 0.01, f"fused_gn normalized error {err}"
+
+
+def test_prior_disabled_without_prediction():
+    """x_pred=None with include_prior=True (the canonical config) must apply
+    NO prior: there is no prediction to pull toward. Previously a zeros
+    placeholder under vmap acted as a unit-information prior toward identity
+    relative motion, biasing the gather/mxu/fused-sampling paths (the
+    in-kernel solver gated correctly, so samplers disagreed)."""
+    import dataclasses as _dc
+
+    from vslam_tpu.alignment import ic as ic_mod
+    from vslam_tpu.core.se3 import SE3
+
+    xi_true = np.array([0.025, -0.015, 0.01, 0.008, -0.006, 0.004])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref = make_frame(np.eye(4))
+    f_cur = make_frame(pose_cur)
+    stack = jax.tree_util.tree_map(lambda x: x[None], f_ref)
+    rel_init = SE3(jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3), jnp.float32))
+
+    # enormous prior weight: if the zero-prior bug were present, the pose
+    # would be dragged hard toward identity and the error would blow up
+    cfg_on = AlignmentConfig(
+        min_gradient=10.0, solver=solver_cfg(), include_prior=True,
+        prior_weight=100.0, interpolation="bilinear",
+    )
+    cfg_off = _dc.replace(cfg_on, include_prior=False)
+    rel_on, _, ok_on = ic_mod.align(stack, f_cur, rel_init, None, cfg_on)
+    rel_off, _, ok_off = ic_mod.align(stack, f_cur, rel_init, None, cfg_off)
+    assert bool(ok_on) and bool(ok_off)
+    np.testing.assert_allclose(np.asarray(rel_on.R), np.asarray(rel_off.R), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rel_on.t), np.asarray(rel_off.t), atol=1e-7)
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(rel_on.R[0], np.float64)
+    T[:3, 3] = np.asarray(rel_on.t[0], np.float64)
+    err = np.linalg.norm(lie_np.log(lie_np.relative(T, pose_cur)))
+    assert err < 0.01, err

@@ -85,3 +85,35 @@ def test_icp_aligner_interface():
     err = np.linalg.norm(lie_np.log(lie_np.relative(pose, pose_cur)))
     assert err < 0.012, err
     assert cov.shape == (6, 6)
+
+
+def test_normal_compatibility_gate_is_wired():
+    """min_cos_normal must actually gate correspondences (it was previously
+    declared but never applied): a strict-but-satisfiable threshold still
+    converges on the composite plane scene (normals agree between views),
+    while an impossible threshold (> 1) excludes every correspondence and
+    the solver reports invalid."""
+    xi_true = np.array([0.015, 0.01, -0.01, 0.005, 0.006, -0.004])
+    pose_cur = lie_np.exp(xi_true)
+    f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
+    rel0 = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+
+    strict = IcpConfig(
+        solver=SolverConfig(max_iterations=30, min_step_size=1e-7),
+        min_cos_normal=0.95,
+    )
+    rel, _, ok = align_icp(f_ref, f_cur, rel0, strict)
+    assert bool(ok)
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(rel.R, np.float64)
+    T[:3, 3] = np.asarray(rel.t, np.float64)
+    u, _, vt = np.linalg.svd(T[:3, :3])
+    T[:3, :3] = u @ vt
+    assert np.linalg.norm(lie_np.log(T) - xi_true) < 0.012
+
+    impossible = IcpConfig(
+        solver=SolverConfig(max_iterations=30, min_step_size=1e-7),
+        min_cos_normal=1.5,
+    )
+    _, _, ok_none = align_icp(f_ref, f_cur, rel0, impossible)
+    assert not bool(ok_none), "gate at cos>1 must exclude all correspondences"

@@ -233,3 +233,75 @@ def test_normal_equations_combine():
     np.testing.assert_allclose(np.asarray(tot.A), 2 * np.eye(2))
     np.testing.assert_allclose(np.asarray(tot.b), [3.0, 6.0])
     assert float(tot.n) == 4.0
+
+
+def test_nan_first_iteration_not_accepted():
+    """A NaN residual pass on iteration 0 must leave the solver INVALID:
+    x rolls back (GaussNewton.cpp:93-98) and A/b/chi2/iterations must keep
+    the last truly-accepted state — previously the NaN-producing NE was
+    stored and valid read True."""
+    def compute_ne(x):
+        A = jnp.eye(2, dtype=jnp.float32)
+        b = jnp.array([jnp.nan, jnp.nan], jnp.float32)
+        return ne_mod.NormalEquations(
+            A, b, jnp.asarray(jnp.nan, jnp.float32), jnp.asarray(100.0)
+        )
+
+    res = solve_gauss_newton(
+        compute_ne, lambda x, dx: x - dx, jnp.zeros(2, jnp.float32), n_params=2,
+        config=SolverConfig(max_iterations=5, min_step_size=1e-9),
+    )
+    assert not bool(res.valid)
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
+    assert np.all(np.isfinite(np.asarray(res.A))), "A must keep the accepted (init) state"
+
+
+def test_rank_deficient_large_scale_hessian_aborts():
+    """An EXACTLY rank-deficient A (duplicated constraint direction — e.g.
+    every interest point collinear) whose healthy pivots are huge has a huge
+    det: the reference's absolute |det| >= 1e-6 guard passes on sheer scale
+    and the solve would step enormously along the unobservable direction.
+    The factorization's relative-pivot degeneracy flag must drive the guard
+    value to -inf. (A true sub-eps eigenvalue is indistinguishable from f32
+    rounding noise and falls to the chi2 rollback instead — see
+    linalg6._chol_factor.)"""
+    from vslam_tpu.solvers.linalg6 import cholesky_logdet_solve
+
+    rng = np.random.default_rng(0)
+    # duplicated-direction construction: last pivot cancels exactly or goes
+    # negative in f32, so the degeneracy flag must fire
+    U = np.linalg.qr(rng.normal(size=(6, 6)))[0].astype(np.float32)
+    A_dup = (U * np.float32(1e8)) @ U.T
+    A_dup[5, :] = A_dup[4, :]
+    A_dup[:, 5] = A_dup[:, 4]
+    _, logdet_dup = cholesky_logdet_solve(
+        jnp.asarray(A_dup), jnp.ones(6, jnp.float32)
+    )
+    assert np.asarray(logdet_dup) == -np.inf, np.asarray(logdet_dup)
+
+    # a merely ill-conditioned (condition 1e6) but full-rank system at the
+    # same scale must still pass the guard
+    eigs_ok = np.array([1e8, 1e8, 1e8, 1e8, 1e8, 1e2])
+    A_ok = (U.astype(np.float64) * eigs_ok) @ U.T.astype(np.float64)
+    _, logdet_ok = cholesky_logdet_solve(
+        jnp.asarray(A_ok, jnp.float32), jnp.ones(6, jnp.float32)
+    )
+    assert np.isfinite(np.asarray(logdet_ok))
+    np.testing.assert_allclose(
+        np.asarray(logdet_ok), np.linalg.slogdet(A_ok)[1], rtol=1e-3
+    )
+
+
+def test_mean_scaler_dispatch():
+    """LossConfig(scaler="mean") dispatches to the reference MeanScaler
+    (Scaler.cpp:37-47): mean offset + L1-based pseudo-std (previously
+    _mean_scale existed but no config value reached it)."""
+    r = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0, 100.0], np.float32))
+    mask = jnp.ones(5, bool)
+    cfg = LossConfig("Huber", scaler="mean")
+    scale = loss.compute_scale(cfg, r, mask)
+    mean = 22.0
+    dev = np.abs(np.array([1, 2, 3, 4, 100.0]) - mean).sum()
+    np.testing.assert_allclose(float(scale.offset), mean, rtol=1e-6)
+    np.testing.assert_allclose(float(scale.scale), np.sqrt(dev / 4.0), rtol=1e-5)

@@ -144,12 +144,19 @@ class RgbdAlignerFa:
     def align(self, ref_frames, ref_poses, cur_frame: Frame, pred_pose: np.ndarray):
         ref_frame, ref_pose = ref_frames[0], ref_poses[0]
         rel0_np = lie_np.relative(ref_pose, pred_pose)
-        dtype = np.asarray(cur_frame.intensity[0]).dtype
+        # dtype read off the aval — np.asarray would D2H the whole image
+        # (see aligner.RgbdAligner.align)
+        dtype = np.dtype(cur_frame.intensity[0].dtype)
         rel0 = SE3(jnp.asarray(rel0_np[:3, :3], dtype), jnp.asarray(rel0_np[:3, 3], dtype))
         rel, cov, ok = align_fa(ref_frame, cur_frame, rel0, self.cfg)
+        import jax as _jax
+
+        # ONE fetch for everything the host needs (four separate
+        # np.asarray calls would each pay a device round trip)
+        R_h, t_h, cov_h, ok_h = _jax.device_get((rel.R, rel.t, cov, ok))
         T = np.eye(4)
-        T[:3, :3] = np.asarray(rel.R, np.float64)
-        T[:3, 3] = np.asarray(rel.t, np.float64)
+        T[:3, :3] = np.asarray(R_h, np.float64)
+        T[:3, 3] = np.asarray(t_h, np.float64)
         u, _, vt = np.linalg.svd(T[:3, :3])
         T[:3, :3] = u @ vt
-        return T @ ref_pose, np.asarray(cov, np.float64), bool(ok)
+        return T @ ref_pose, np.asarray(cov_h, np.float64), bool(ok_h)

@@ -133,10 +133,19 @@ def _chol6(A, b):
     indefinite systems)."""
     N = 6
     L = [[None] * N for _ in range(N)]
+    scale = A[0][0]
+    for j in range(1, N):
+        scale = jnp.maximum(scale, A[j][j])
+    bad = ~jnp.isfinite(scale)
     for j in range(N):
         s = A[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
+        # relative degeneracy test (mirrors linalg6._chol_factor): a rank-
+        # deficient A with large healthy pivots has a huge det, so the
+        # absolute guard alone would accept it and the solve would step
+        # along the unobservable direction
+        bad = bad | (s <= 1e-10 * scale)
         L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
         inv_d = 1.0 / L[j][j]
         for i in range(j + 1, N):
@@ -149,7 +158,7 @@ def _chol6(A, b):
     logdet = jnp.log(L[0][0])
     for j in range(1, N):
         logdet = logdet + jnp.log(L[j][j])
-    logdet = 2.0 * logdet
+    logdet = jnp.where(bad, -jnp.inf, 2.0 * logdet)
     y = [None] * N
     for i in range(N):
         s = b[i]
@@ -415,7 +424,10 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
         if min_relative_reduction is not None:
             converged = converged | ((pushed > 0) & (d_chi2 < min_relative_reduction * jnp.abs(chi2)))
 
-        accepted = ~abort
+        # a NaN step is NOT an accepted iteration (mirrors
+        # solvers.gauss_newton): x rolls back AND A/b/chi2/pushed keep the
+        # last truly-accepted state
+        accepted = ~abort & ~nan_step
         keep_old = abort | nan_step
         Rd_next = tuple(jnp.where(keep_old, Rd[k], R_new[k]) for k in range(9))
         td_next = tuple(jnp.where(keep_old, td[k], t_new[k]) for k in range(3))

@@ -432,6 +432,13 @@ def level_normal_equations(
     pack=None,  # optional fused_ne.FusedLevelPack (built once per level)
 ) -> NormalEquations:
     """Stacked NE: per-frame NEs summed (InverseCompositionalStacked.cpp:48-62)."""
+    # The prior needs a MEAN: with x_pred=None there is nothing to pull
+    # toward, so the prior must be OFF — statically, at trace time. (A zeros
+    # placeholder substituted under vmap is a traced array, never None, so
+    # gating on cfg.include_prior alone inside the lambda would
+    # silently apply a unit-information prior toward zero relative motion.
+    # solve_level_fused already gates this way; keep every sampler identical.)
+    use_prior = bool(cfg.include_prior and x_pred is not None)
     xp = x_pred if x_pred is not None else jnp.zeros((data.J.shape[0], 6), image_cur.dtype)
 
     if _use_fused(cfg):
@@ -448,7 +455,7 @@ def level_normal_equations(
         per_frame = jax.vmap(
             lambda A_f, b_f, c_f, n_f, g_f, x_f: _normalize_prior(
                 A_f, b_f, c_f, n_f, g_f, cfg,
-                x_f if cfg.include_prior else None, dtype,
+                x_f if use_prior else None, dtype,
             )
         )(A.astype(dtype), b.astype(dtype), chi2.astype(dtype), data.n_constraints, rel, xp)
         return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
@@ -473,7 +480,7 @@ def level_normal_equations(
         per_frame = jax.vmap(
             lambda d, g, x, iw, vis: _frame_normal_equations(
                 d, g, img_xla, cam_cur, cfg,
-                x if cfg.include_prior else None, precomputed=(iw, vis),
+                x if use_prior else None, precomputed=(iw, vis),
             )
         )(data, rel, xp, iwxp, visible)
         return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
@@ -491,13 +498,13 @@ def level_normal_equations(
         per_frame = jax.vmap(
             lambda d, g, x, iw, vis: _frame_normal_equations(
                 d, g, image_cur, cam_cur, cfg,
-                x if cfg.include_prior else None, precomputed=(iw, vis),
+                x if use_prior else None, precomputed=(iw, vis),
             )
         )(data, rel, xp, iwxp, visible)
     else:
         per_frame = jax.vmap(
             lambda d, g, x: _frame_normal_equations(
-                d, g, image_cur, cam_cur, cfg, x if cfg.include_prior else None
+                d, g, image_cur, cam_cur, cfg, x if use_prior else None
             )
         )(data, rel, xp)
     return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), per_frame)
@@ -615,7 +622,14 @@ def iteration_images(
     rel0 = SE3(rel0_R, rel0_t)
     rel = se3.compose(rel0, _broadcast(se3.exp(x_it), rel0))
     u, v, visible = _warp_visibility(data, rel, (H, W), cam_cur)
-    iwxp = jax.vmap(lambda uu, vv: img_ops.bilinear_sample(image_cur, uu, vv))(u, v)
+    # replay with the SOLVER's sampling mode: in strict-parity nearest mode
+    # the logged residuals must match the values that drove the solve
+    sample = (
+        img_ops.nearest_sample
+        if cfg is not None and cfg.interpolation != "bilinear"
+        else img_ops.bilinear_sample
+    )
+    iwxp = jax.vmap(lambda uu, vv: sample(image_cur, uu, vv))(u, v)
     r = jnp.where(visible, iwxp - data.templ, 0.0)
 
     if cfg is not None and cfg.loss.function != "None":

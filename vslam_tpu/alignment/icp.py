@@ -86,11 +86,12 @@ def _hat(p: jax.Array) -> jax.Array:
     )
 
 
-def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera, rel0: SE3, cfg: IcpConfig):
+def _level_icp(ref_pts, ref_valid, ref_normals, cur_pts, cur_normals, cur_ok, cam_cur: Camera, rel0: SE3, cfg: IcpConfig):
     H, W = ref_valid.shape
     P = H * W
     p_ref = ref_pts.reshape(P, 3)
     m_ref = ref_valid.reshape(P)
+    n_ref = ref_normals.reshape(P, 3)
     q_map = cur_pts.reshape(P, 3)
     n_map = cur_normals.reshape(P, 3)
     ok_map = cur_ok.reshape(P)
@@ -112,7 +113,17 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
         qok = jnp.take(ok_map, idx, axis=0)
         d = p - q
         dist = jnp.linalg.norm(d, axis=-1)
-        valid = m_ref & zok & inb & qok & (dist < cfg.max_distance)
+        # normal-compatibility gate (the cv::rgbd odometry correspondence
+        # filter): the ref normal rotated into the current frame must agree
+        # with the hit pixel's normal — rejects grazing and foreground/
+        # background mismatches that pass the distance gate
+        n_ref_cur = n_ref @ T.R.T
+        cos_n = jnp.sum(n_ref_cur * n, axis=-1)
+        valid = (
+            m_ref & zok & inb & qok
+            & (dist < cfg.max_distance)
+            & (cos_n >= cfg.min_cos_normal)
+        )
         w = valid.astype(dtype)
         # NOTE: unlike the photometric NE, A is NOT normalized by the
         # constraint count — residual entries are O(1) (metres / unit
@@ -127,8 +138,11 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
             J3 = jnp.concatenate([eye, -px], axis=-1)  # (P, 3, 6)
             Jf = (J3 * w[:, None, None]).reshape(P * 3, 6)
             J0 = J3.reshape(P * 3, 6)
-            rf = (d * w[:, None]).reshape(P * 3)
+            rf = d.reshape(P * 3)
             A = Jf.T @ J0
+            # Jf already carries w: b = J^T W r (weighting r as well would
+            # square the weight — harmless for binary gates, a trap for
+            # robust weights)
             b = Jf.T @ rf
             chi2 = jnp.sum(w[:, None] * d * d)
         else:  # point_to_plane
@@ -137,7 +151,7 @@ def _level_icp(ref_pts, ref_valid, cur_pts, cur_normals, cur_ok, cam_cur: Camera
             J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
             Jw = J * w[:, None]
             A = Jw.T @ J
-            b = Jw.T @ (r * w)
+            b = Jw.T @ r  # Jw carries w already (see point-to-point branch)
             chi2 = jnp.sum(w * r * r)
         nc = jnp.sum(w)
         return NormalEquations(A, b, chi2, nc)
@@ -161,8 +175,9 @@ def align_icp(ref_frame: Frame, cur_frame: Frame, rel_init: SE3, cfg: IcpConfig 
         ref_pts, ref_valid = frame_pcl(ref_frame, level)
         cur_pts, cur_valid = frame_pcl(cur_frame, level)
         normals, n_ok = _normals_from_depth(cur_pts, cur_valid)
+        ref_normals, ref_n_ok = _normals_from_depth(ref_pts, ref_valid)
         rel, res = _level_icp(
-            ref_pts, ref_valid, cur_pts, normals, n_ok,
+            ref_pts, ref_valid & ref_n_ok, ref_normals, cur_pts, normals, n_ok,
             cur_frame.cameras[level], rel, cfg,
         )
         cov = jnp.where(res.valid, inv_psd(res.A), cov)
@@ -181,12 +196,19 @@ class IcpAligner:
         ref_frame = ref_frames[0]
         ref_pose = ref_poses[0]
         rel0_np = lie_np.relative(ref_pose, pred_pose)
-        dtype = np.asarray(cur_frame.depth[0]).dtype
+        # dtype read off the aval — np.asarray would D2H the whole image
+        # (see aligner.RgbdAligner.align)
+        dtype = np.dtype(cur_frame.depth[0].dtype)
         rel0 = SE3(jnp.asarray(rel0_np[:3, :3], dtype), jnp.asarray(rel0_np[:3, 3], dtype))
         rel, cov, ok = align_icp(ref_frame, cur_frame, rel0, self.cfg)
+        import jax as _jax
+
+        # ONE fetch for everything the host needs (four separate
+        # np.asarray calls would each pay a device round trip)
+        R_h, t_h, cov_h, ok_h = _jax.device_get((rel.R, rel.t, cov, ok))
         T = np.eye(4)
-        T[:3, :3] = np.asarray(rel.R, np.float64)
-        T[:3, 3] = np.asarray(rel.t, np.float64)
+        T[:3, :3] = np.asarray(R_h, np.float64)
+        T[:3, 3] = np.asarray(t_h, np.float64)
         u, _, vt = np.linalg.svd(T[:3, :3])
         T[:3, :3] = u @ vt
-        return T @ ref_pose, np.asarray(cov, np.float64), bool(ok)
+        return T @ ref_pose, np.asarray(cov_h, np.float64), bool(ok_h)

@@ -67,13 +67,19 @@ def _grid(templ):
     return xs, ys
 
 
-def _masked_ne(J, r, mask, loss_cfg, n):
+def _masked_ne(J, r, vis, interest, loss_cfg, n):
+    """Weighted NE over the visible set. The robust-loss SCALE is computed
+    over the FULL interest-point residual vector (r = 0 at currently
+    invisible points), matching the reference and the SE(3) path
+    (InverseCompositional.cpp:105-137; ic._frame_normal_equations passes
+    data.mask) — scaling over the visible subset only would weight outliers
+    differently than the aligner these 2-D baselines cross-check."""
     dtype = r.dtype
     if loss_cfg.function != "None":
-        scale = loss_mod.compute_scale(loss_cfg, r, mask)
-        w = jnp.where(mask, loss_mod.compute_weights(loss_cfg, (r - scale.offset) / scale.scale), 0.0)
+        scale = loss_mod.compute_scale(loss_cfg, r, interest)
+        w = jnp.where(vis, loss_mod.compute_weights(loss_cfg, (r - scale.offset) / scale.scale), 0.0)
     else:
-        w = mask.astype(dtype)
+        w = vis.astype(dtype)
     Jw = J * w[:, None]
     A = Jw.T @ J
     b = Jw.T @ r
@@ -114,7 +120,7 @@ def align_optical_flow(
             vis = mask0 & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
             iw = img_ops.bilinear_sample(image, jnp.where(vis, u, 0.0), jnp.where(vis, v, 0.0))
             r = jnp.where(vis, iw - t_flat, 0.0)
-            return _masked_ne(J, r, vis, cfg.loss, n0)
+            return _masked_ne(J, r, vis, mask0, cfg.loss, n0)
 
         def update(p, dx):
             return p - dx  # compositional for pure translation = subtract
@@ -134,7 +140,7 @@ def align_optical_flow(
             J = jnp.where(vis[:, None], jnp.stack([gx, gy], axis=-1), 0.0)
             iw = img_ops.bilinear_sample(image, us, vs)
             r = jnp.where(vis, t_flat - iw, 0.0)  # FA residual T - I(W)
-            return _masked_ne(J, r, vis, cfg.loss, n0)
+            return _masked_ne(J, r, vis, mask0, cfg.loss, n0)
 
         def update(p, dx):
             return p + dx
@@ -185,7 +191,7 @@ def align_affine(
             vis = mask0 & (u > 1) & (u < W - 1) & (v > 1) & (v < H - 1)
             iw = img_ops.bilinear_sample(image, jnp.where(vis, u, 0.0), jnp.where(vis, v, 0.0))
             r = jnp.where(vis, iw - t_flat, 0.0)
-            return _masked_ne(J, r, vis, cfg.loss, n0)
+            return _masked_ne(J, r, vis, mask0, cfg.loss, n0)
 
         def update(p, dx):
             # inverse-compositional: W(p) <- W(p) . W(dx)^-1 (exact composition)
@@ -209,7 +215,7 @@ def align_affine(
             J = jnp.where(vis[:, None], _rows(gx, gy), 0.0)
             iw = img_ops.bilinear_sample(image, us, vs)
             r = jnp.where(vis, t_flat - iw, 0.0)  # FA residual T - I(W)
-            return _masked_ne(J, r, vis, cfg.loss, n0)
+            return _masked_ne(J, r, vis, mask0, cfg.loss, n0)
 
         def update(p, dx):
             return p + dx

@@ -145,7 +145,11 @@ def solve_gauss_newton(
                 & (d_chi2 < config.min_relative_reduction * jnp.abs(ne.chi2))
             )
 
-        accepted = ~abort
+        # a NaN step is NOT an accepted iteration: x rolls back (reference
+        # GaussNewton.cpp:93-98), and A/b/chi2/pushed must keep the last
+        # truly-accepted state — otherwise the returned covariance comes
+        # from the NaN-producing NE while valid still reads True
+        accepted = ~abort & ~nan_step
         # on abort or NaN keep the pre-iteration x
         keep_old = abort | nan_step
         x_next = _select_tree(keep_old, c.x, x_new)
@@ -225,10 +229,8 @@ def solve_levenberg_marquardt(
 
     class CarryLM(NamedTuple):
         x: Any
-        chi2_prev: jax.Array
+        ne: NormalEquations  # NE linearized at x (reused across rejections)
         lam: jax.Array
-        A_last: jax.Array
-        b_last: jax.Array
         i: jax.Array
         pushed: jax.Array
         done: jax.Array
@@ -236,35 +238,41 @@ def solve_levenberg_marquardt(
         step_hist: jax.Array
 
     def body(c: CarryLM) -> CarryLM:
-        ne = compute_ne(c.x)
-        stop_constraints = ne.n < n_params
-        damped = ne.A + c.lam * jnp.diag(jnp.diagonal(ne.A))
-        dx = cholesky_solve(damped, ne.b)
+        # ONE compute_ne per iteration: the NE at the current x rides the
+        # carry, and the trial point's NE doubles as both the acceptance
+        # check (its chi2) and the next linearization — the standard LM
+        # structure (a rejected trial re-dampens the CARRIED NE, no re-
+        # linearization needed).
+        stop_constraints = c.ne.n < n_params
+        damped = c.ne.A + c.lam * jnp.diag(jnp.diagonal(c.ne.A))
+        dx = cholesky_solve(damped, c.ne.b)
         x_new = update_x(c.x, dx)
-        chi2_new = compute_ne(x_new).chi2
-        improved = chi2_new < ne.chi2
+        ne_new = compute_ne(x_new)
+        improved = ne_new.chi2 < c.ne.chi2
         step = jnp.linalg.norm(dx)
-        nan_step = ~jnp.isfinite(step) | ~jnp.isfinite(chi2_new)
+        nan_step = ~jnp.isfinite(step) | ~jnp.isfinite(ne_new.chi2)
 
         accept = improved & ~nan_step & ~stop_constraints
         x_next = _select_tree(accept, x_new, c.x)
+        ne_next = _select_tree(accept, ne_new, c.ne)
         lam_next = jnp.where(
             accept,
             jnp.maximum(c.lam * lambda_down, 1e-12),
             jnp.minimum(c.lam * lambda_up, max_lambda),
         )
         converged = accept & (step < config.min_step_size)
-        done = stop_constraints | converged | (c.lam >= max_lambda)
+        # saturated lambda stops the solver only when the trial at that
+        # lambda was REJECTED (an accepted step at max_lambda is live
+        # progress; lambda is about to decrease)
+        done = stop_constraints | converged | (~accept & (c.lam >= max_lambda))
         return CarryLM(
             x_next,
-            jnp.where(accept, chi2_new, c.chi2_prev),
+            ne_next,
             lam_next,
-            jnp.where(accept, ne.A, c.A_last),
-            jnp.where(accept, ne.b, c.b_last),
             c.i + 1,
             c.pushed + jnp.where(accept, 1, 0),
             done,
-            c.chi2_hist.at[c.i].set(chi2_new),
+            c.chi2_hist.at[c.i].set(ne_new.chi2),
             c.step_hist.at[c.i].set(step),
         )
 
@@ -273,10 +281,8 @@ def solve_levenberg_marquardt(
 
     init = CarryLM(
         x=x0,
-        chi2_prev=jnp.asarray(jnp.inf, dtype),
+        ne=compute_ne(x0),
         lam=jnp.asarray(lambda0, dtype),
-        A_last=jnp.eye(n, dtype=dtype),
-        b_last=jnp.zeros((n,), dtype),
         i=jnp.asarray(0, jnp.int32),
         pushed=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
@@ -286,9 +292,9 @@ def solve_levenberg_marquardt(
     out = lax.while_loop(cond, body, init)
     return SolverResult(
         x=out.x,
-        A=out.A_last,
-        b=out.b_last,
-        chi2=out.chi2_prev,
+        A=out.ne.A,
+        b=out.ne.b,
+        chi2=out.ne.chi2,
         iterations=out.pushed,
         valid=out.pushed > 0,
         chi2_history=out.chi2_hist,

@@ -23,16 +23,35 @@ __all__ = ["cholesky_solve", "cholesky_det_solve", "cholesky_logdet_solve", "inv
 
 
 def _chol_factor(A: jax.Array):
-    """Unrolled Cholesky of (..., N, N); returns the list-of-lists lower
-    factor entries (None above the diagonal) without forming a matrix."""
+    """Unrolled Cholesky of (..., N, N); returns (L, bad): the list-of-lists
+    lower factor entries (None above the diagonal) without forming a matrix,
+    and a boolean marking a degenerate factorization.
+
+    ``bad`` is True when any pivot is non-positive or vanishes RELATIVE to
+    the matrix scale. The relative test matters: clamping alone keeps the
+    arithmetic finite, but an exactly-degenerate A with large healthy pivots
+    still has a large determinant — the caller's absolute |det| >= 1e-6
+    guard (reference semantics) would pass on sheer scale and the solve
+    would step enormously along the unobservable direction. Scope honesty:
+    in f32 the Cholesky cancellation noise is ~eps*scale (1e-7 relative), so
+    this flag reliably catches EXACT degeneracy (indefinite inputs,
+    duplicated/collinear constraint directions, all-masked systems — pivots
+    <= 0 or identically tiny) but cannot distinguish a true sub-eps
+    eigenvalue from rounding noise; those fall through to the chi2-increase
+    rollback one iteration later, as in the reference."""
     N = A.shape[-1]
     L = [[None] * N for _ in range(N)]
+    scale = A[..., 0, 0]
+    for j in range(1, N):
+        scale = jnp.maximum(scale, A[..., j, j])
+    bad = ~jnp.isfinite(scale)
     for j in range(N):
         s = A[..., j, j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
+        bad = bad | (s <= 1e-10 * scale)
         # clamp: keeps straight-line code finite for indefinite inputs; the
-        # caller's det/finite guard rejects those systems
+        # caller gates on `bad` / the det guard instead of solving them
         L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
         inv_d = 1.0 / L[j][j]
         for i in range(j + 1, N):
@@ -40,7 +59,7 @@ def _chol_factor(A: jax.Array):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
-    return L
+    return L, bad
 
 
 def cholesky_det_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -52,11 +71,11 @@ def cholesky_det_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array
     aborting on bad Hessians rather than solving them).
     """
     N = A.shape[-1]
-    L = _chol_factor(A)
+    L, bad = _chol_factor(A)
     det_sqrt = L[0][0]
     for j in range(1, N):
         det_sqrt = det_sqrt * L[j][j]
-    det = det_sqrt * det_sqrt
+    det = jnp.where(bad, 0.0, det_sqrt * det_sqrt)
 
     # forward substitution L y = b
     y = [None] * N
@@ -89,11 +108,14 @@ def cholesky_logdet_solve(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Ar
     becomes logdet < log(1e-6). Clamped (indefinite) pivots drive logdet to
     very negative values, preserving the abort-on-bad-Hessian behavior."""
     N = A.shape[-1]
-    L = _chol_factor(A)
+    L, bad = _chol_factor(A)
     logdet = jnp.log(L[0][0])
     for j in range(1, N):
         logdet = logdet + jnp.log(L[j][j])
-    logdet = 2.0 * logdet
+    # degenerate factorization -> -inf, so the caller's logdet < log(1e-6)
+    # guard always rejects it (a rank-deficient A with large healthy pivots
+    # would otherwise pass on sheer scale)
+    logdet = jnp.where(bad, -jnp.inf, 2.0 * logdet)
 
     y = [None] * N
     for i in range(N):

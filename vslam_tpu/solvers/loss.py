@@ -153,6 +153,9 @@ def compute_scale(cfg: LossConfig, r: jax.Array, mask: jax.Array) -> Scale:
     if cfg.function in ("Tukey", "Huber"):
         if cfg.scaler == "mad":
             return _mad_scale(r, mask)
+        if cfg.scaler == "mean":
+            # reference MeanScaler (Scaler.cpp:37-47)
+            return _mean_scale(r, mask)
         return _median_scale(r, mask)
     if cfg.function == "tdistribution":
         return _t_dist_scale(r, mask, v=cfg.tdistribution_v)
