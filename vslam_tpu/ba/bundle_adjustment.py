@@ -103,21 +103,42 @@ def _residuals(p: BaProblem, poses: SE3, points: jax.Array, huber_c: float = 5.0
     J_point = jnp.where(ok[:, None, None], J_point, 0.0)
 
     r = jnp.concatenate([r_uv, r_z[:, None]], axis=-1)
+    w = jnp.ones_like(z)
     if huber_c and huber_c > 0:
-        # IRLS Huber on the pixel-residual norm: scales residual rows and
-        # Jacobians by sqrt(w) so the NE assembly stays a plain sum
-        rn = jnp.linalg.norm(r_uv, axis=-1)
+        # IRLS Huber on the FULL per-observation residual norm (pixel rows +
+        # the depth row, which r_z already scales to pixel units by fx/z):
+        # scales residual rows and Jacobians by sqrt(w) so the NE assembly
+        # stays a plain sum. Weighting on the pixel norm alone would let a
+        # depth outlier with a good pixel match (object boundary, mixed
+        # pixel) enter the solve at full weight and dominate chi2.
+        rn = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(rn > huber_c, huber_c / jnp.maximum(rn, 1e-9), 1.0)
         sw = jnp.sqrt(w)[:, None]
         r = r * sw
         J_pose = J_pose * sw[..., None]
         J_point = J_point * sw[..., None]
-    return r, J_pose, J_point, ok
+    return r, J_pose, J_point, ok, w
 
 
 def _chi2(p: BaProblem, poses: SE3, points: jax.Array, huber_c: float = 5.0) -> jax.Array:
-    r, _, _, _ = _residuals(p, poses, points, huber_c)
+    r, _, _, _, _ = _residuals(p, poses, points, huber_c)
     return jnp.sum(r * r)
+
+
+@functools.partial(jax.jit, static_argnames=("huber_c",))
+def effective_residual_count(
+    p: BaProblem, poses: SE3, points: jax.Array, huber_c: float = 5.0
+) -> jax.Array:
+    """Huber-effective number of scalar residuals at the solution:
+    sum over valid observations of w * (2 pixel rows + 1 depth row where
+    present). The residual-variance estimate sigma2 = chi2 / (n_eff - dof)
+    must use this, not the raw row count — chi2 is Huber-DOWNWEIGHTED, so
+    dividing by raw rows systematically underestimates sigma2 and makes the
+    Mahalanobis drift gate fire on solver jitter."""
+    _, _, _, ok, w = _residuals(p, poses, points, huber_c)
+    obs_z = p.obs_z if p.obs_z is not None else jnp.zeros_like(w)
+    rows = 2.0 + (ok & (obs_z > 0.0)).astype(w.dtype)
+    return jnp.sum(jnp.where(ok, w * rows, 0.0))
 
 
 def _schur_dense(p: BaProblem, poses: SE3, points: jax.Array, lam, huber_c: float):
@@ -126,7 +147,7 @@ def _schur_dense(p: BaProblem, poses: SE3, points: jax.Array, lam, huber_c: floa
     and the pose-covariance extraction."""
     K = poses.t.shape[0]
     M = points.shape[0]
-    r, Jp, Jx, ok = _residuals(p, poses, points, huber_c)
+    r, Jp, Jx, ok, _ = _residuals(p, poses, points, huber_c)
 
     U = jax.ops.segment_sum(
         jnp.einsum("oai,oaj->oij", Jp, Jp), p.obs_frame, num_segments=K
@@ -288,10 +309,9 @@ class BundleAdjustment:
 
     @staticmethod
     def _bucket(n: int, minimum: int = 8) -> int:
-        b = minimum
-        while b < n:
-            b *= 2
-        return b
+        from ..utils import pow2_bucket
+
+        return pow2_bucket(n, minimum)
 
     def optimize(self, slam_map) -> Tuple[Dict[int, np.ndarray], Dict[int, np.ndarray], float, float]:
         kfs = slam_map.keyframes()
@@ -392,10 +412,11 @@ class BundleAdjustment:
         if self.compute_pose_covariance:
             slot_newest = int(inv_order[0])
             cov = pose_covariance(problem, poses_out, points_out, slot_newest)
-            n_res = 2 * len(obs) + int(np.sum(obs_arr[: len(obs), 4] > 0))
-            dof = max(n_res - (6 * (K - 1) + 3 * len(pts)), 1)
+            n_eff = effective_residual_count(problem, poses_out, points_out)
+            cov_h, n_eff_h = jax.device_get((cov, n_eff))  # one fetch
+            dof = max(float(n_eff_h) - (6 * (K - 1) + 3 * len(pts)), 1.0)
             sigma2 = float(err1) / dof
-            self.last_newest_cov = np.asarray(jax.device_get(cov), np.float64) * sigma2
+            self.last_newest_cov = np.asarray(cov_h, np.float64) * sigma2
         else:
             self.last_newest_cov = None
 

@@ -110,10 +110,13 @@ def estimate_rel_3d3d(
     R, t = np.eye(3), np.zeros(3)  # no-consensus fallback (caller checks inliers)
     if best_inl.sum() >= 3:
         R, t = align_horn(p_old[best_inl], p_new[best_inl])
-        err = np.linalg.norm(p_old @ R.T + t - p_new, axis=1)
-        best_inl = err < threshold
-        if best_inl.sum() >= 3:
-            R, t = align_horn(p_old[best_inl], p_new[best_inl])
+        refined = np.linalg.norm(p_old @ R.T + t - p_new, axis=1) < threshold
+        if refined.sum() >= 3:
+            R, t = align_horn(p_old[refined], p_new[refined])
+        # the returned mask must be evaluated against the RETURNED transform
+        # (the caller's n_inliers gates acceptance and scales the edge
+        # information; a mask from an intermediate fit misreports both)
+        best_inl = np.linalg.norm(p_old @ R.T + t - p_new, axis=1) < threshold
     T = np.eye(4)
     T[:3, :3] = R
     T[:3, 3] = t
@@ -191,6 +194,10 @@ class KeyframeDatabase:
         cfg = self.cfg
         if frame.keypoints is None or len(frame.keypoints) == 0:
             return None
+        # reuse the query frame's own entry if it was just add()ed — its
+        # packed descriptors / global descriptor / back-projected points are
+        # exactly what we'd recompute here
+        own = next((e for e in self._entries if e.kf_id == frame.id), None)
         candidates = [e for e in self._entries if e.kf_id != frame.id]
         candidates = candidates[: len(candidates) - cfg.min_gap] if len(candidates) > cfg.min_gap else []
         if not candidates:
@@ -200,13 +207,18 @@ class KeyframeDatabase:
             # full (N, M) descriptor matrices + RANSAC passes — query cost
             # becomes O(C·256) + O(k) verifications, k fixed, so the per-query
             # work is flat in database size (sub-linear in total matching work)
-            gq = _global_descriptor(desc_mod.as_float_bits(frame.descriptors))
+            gq = (
+                own.gdesc
+                if own is not None
+                else _global_descriptor(desc_mod.as_float_bits(frame.descriptors))
+            )
             G = np.stack([e.gdesc for e in candidates])
             score = np.abs(G - gq[None]).sum(axis=1)
             keep = np.argsort(score)[: cfg.max_candidates]
             candidates = [candidates[i] for i in keep]
-        desc_q = desc_mod.unpack_bits(jnp.asarray(_as_packed(frame.descriptors)))
-        p_new_all = self._points_cam(frame)
+        packed_q = own.descriptors if own is not None else _as_packed(frame.descriptors)
+        desc_q = desc_mod.unpack_bits(jnp.asarray(packed_q))
+        p_new_all = own.p_cam if own is not None else self._points_cam(frame)
 
         best: Optional[LoopCandidate] = None
         for e in candidates:
@@ -239,5 +251,6 @@ class KeyframeDatabase:
                 # information scales with inlier support; rotation block
                 # stiffer than translation (point noise couples into t first)
                 info = np.eye(6) * (n_inl * 10.0)
+                info[3:, 3:] *= 4.0
                 best = LoopCandidate(kf_id=e.kf_id, rel=T, n_inliers=n_inl, info=info)
         return best

@@ -48,13 +48,15 @@ def _detect_describe(intensity, depth, threshold: float = 10.0, cell: int = 30):
 
 
 @jax.jit
-def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy):
+def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy, max_dist):
     # packed u8 descriptors cross the link; unpack on device for the MXU L1
     d = match_mod.descriptor_l1_matrix(
         desc_mod.unpack_bits(desc_q), desc_mod.unpack_bits(desc_c)
     )
     r = match_mod.reprojection_error_matrix(p3d_c, uv_q, fx, fy, cx, cy)
-    return match_mod.ratio_match(d + r, mask_q=mask_q, mask_c=mask_c, unique=True)
+    return match_mod.ratio_match(
+        d + r, max_distance=max_dist, mask_q=mask_q, mask_c=mask_c, unique=True
+    )
 
 
 def _cam_floats(cam) -> tuple:
@@ -66,17 +68,30 @@ def _cam_floats(cam) -> tuple:
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+    from ..utils import pow2_bucket
+
+    return pow2_bucket(n, minimum)
 
 
 class FeatureTracking:
-    def __init__(self, fast_threshold: float = 10.0, grid_cell: int = 30, border: float = 5.0):
+    def __init__(
+        self,
+        fast_threshold: float = 10.0,
+        grid_cell: int = 30,
+        border: float = 5.0,
+        max_match_distance: float = 300.0,
+    ):
         self.fast_threshold = fast_threshold
         self.grid_cell = grid_cell
         self.border = border
+        # absolute gate on the combined descriptor + reprojection distance.
+        # The reference's custom matcher gates at 1000 (NodeMapping.cpp:112)
+        # in ORB uchar-L1 units (0..8160 possible); our steered-BRIEF bit-L1
+        # is 0..256, so the equivalent budget is ~80 descriptor bits + a
+        # couple hundred px of reprojection slack. Without a meaningful gate
+        # a query with NO true counterpart can still "win" the ratio test in
+        # low-texture scenes and feed a wrong landmark association into BA.
+        self.max_match_distance = float(max_match_distance)
 
     def extract(self, frame: HostFrame) -> None:
         """Populate frame.keypoints/descriptors/kp_depth/kp_landmark
@@ -95,7 +110,9 @@ class FeatureTracking:
         frame.kp_depth = z[keep]
         frame.kp_landmark = np.full(len(frame.keypoints), -1, np.int64)
 
-    def select_candidates(self, cur: HostFrame, refs: List[HostFrame], slam_map: Map):
+    def select_candidates(
+        self, cur: HostFrame, refs: List[HostFrame], slam_map: Map, cam_f=None
+    ):
         """Candidate features from reference keyframes: unassociated features
         always; landmark-associated ones once per landmark and only if the
         landmark projects inside the current view (FeatureTracking.cpp:178-203).
@@ -106,7 +123,9 @@ class FeatureTracking:
         arrays with per-frame slices instead of a per-candidate loop."""
         groups = []  # (ref_frame, np.ndarray of feature indices)
         W, H = cur.frame.width(0), cur.frame.height(0)
-        fx, fy, cx, cy = _cam_floats(cur.frame.cameras[0])
+        # cam_f: host-scalar intrinsics passed through by track() so the
+        # per-keyframe path pays ONE device fetch, not two
+        fx, fy, cx, cy = cam_f if cam_f is not None else _cam_floats(cur.frame.cameras[0])
         R, t = cur.pose[:3, :3], cur.pose[:3, 3]
         seen = np.empty(0, np.int64)
         for f in refs:
@@ -147,7 +166,8 @@ class FeatureTracking:
         refs = [f for f in slam_map.keyframes() if f is not cur]
         if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
             return []
-        groups = self.select_candidates(cur, refs, slam_map)
+        cam_f = _cam_floats(cur.frame.cameras[0])
+        groups = self.select_candidates(cur, refs, slam_map, cam_f)
         n_cand = sum(len(idxs) for _, idxs in groups)
         if n_cand == 0:
             return []
@@ -164,7 +184,7 @@ class FeatureTracking:
         mask_c[:n_cand] = True
         cand: List = []
         R_cur, t_cur = cur.pose[:3, :3], cur.pose[:3, 3]
-        fx, fy, cx, cy = _cam_floats(cur.frame.cameras[0])  # same rig
+        fx, fy, cx, cy = cam_f  # same rig, fetched once above
         j0 = 0
         for f, idxs in groups:
             n = len(idxs)
@@ -188,17 +208,31 @@ class FeatureTracking:
             j0 += n
             cand.extend((f, int(i)) for i in idxs)
 
+        # pad the QUERY side to the same power-of-two buckets as the
+        # candidate side: the raw keypoint count differs almost every
+        # keyframe, and an unpadded query shape would recompile the matcher
+        # per keyframe (ruinous with remote compiles)
+        nq = len(cur.keypoints)
+        Q = _bucket(nq)
+        desc_q = np.zeros((Q, desc_mod.N_BYTES), np.uint8)
+        desc_q[:nq] = cur.descriptors
+        uv_q = np.zeros((Q, 2), np.float32)
+        uv_q[:nq] = cur.keypoints
+        mask_q = np.zeros(Q, bool)
+        mask_q[:nq] = True
         cam = cur.frame.cameras[0]
         res = _match_combined(
-            jnp.asarray(cur.descriptors),
-            jnp.asarray(cur.keypoints, jnp.float32),
-            jnp.ones(len(cur.keypoints), bool),
+            jnp.asarray(desc_q),
+            jnp.asarray(uv_q),
+            jnp.asarray(mask_q),
             jnp.asarray(desc_c),
             jnp.asarray(p3d_c),
             jnp.asarray(mask_c),
             cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.float32(self.max_match_distance),
         )
         idx, ok = jax.device_get((res.idx, res.valid))
+        idx, ok = idx[:nq], ok[:nq]
 
         # vectorized triangulation of ALL current keypoints with depth (the
         # per-landmark world point); the loop below only does the dict

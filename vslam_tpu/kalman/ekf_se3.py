@@ -108,4 +108,8 @@ def update(
     pose_new = se3.compose(state.pose, se3.exp(dx[:6]))
     vel_new = state.velocity + dx[6:]
     P_new = (jnp.eye(12, dtype=dtype) - K @ H) @ state.P
+    # re-symmetrize: the plain (I-KH)P form loses symmetry in f32 over
+    # thousands of cycles, eventually giving S a negative eigenvalue and a
+    # sign-flipped gain (silent divergence, no NaN)
+    P_new = 0.5 * (P_new + P_new.T)
     return EkfState(pose_new, vel_new, P_new, state.Q)

@@ -40,4 +40,5 @@ def update(
     x = state.x + K @ y
     n = state.x.shape[0]
     P = (jnp.eye(n, dtype=state.P.dtype) - K @ H) @ state.P
+    P = 0.5 * (P + P.T)  # f32 symmetry drift guard (see ekf_se3.update)
     return KalmanState(x, P), y

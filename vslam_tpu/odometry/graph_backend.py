@@ -82,7 +82,9 @@ class PoseGraphBackend:
         )
         # bucket (K, E) to bounded static shapes: a growing graph re-uses a
         # handful of compiled programs instead of recompiling per closure
-        bucket = lambda n: max(8, 1 << (int(n - 1)).bit_length())
+        from ..utils import pow2_bucket
+
+        bucket = pow2_bucket
         g, node_mask = pad_pose_graph(g, bucket(K), bucket(E))
         opt, c0, c1 = optimize_pose_graph_jit(g, node_mask=node_mask)
         R = np.asarray(opt.R, np.float64)
