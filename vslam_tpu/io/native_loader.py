@@ -23,10 +23,37 @@ _LIB_PATH = os.path.join(
     "libvslam_io.so",
 )
 _lib = None
+_build_attempted = False
+
+
+def _ensure_built():
+    """Build the library on first use when it's absent (fresh checkout).
+
+    `make -C native` compiles one small C++17 file against zlib in a few
+    seconds; a failed or unavailable toolchain just leaves the native path
+    unavailable (callers fall back to PIL, tests skip)."""
+    global _build_attempted
+    if os.path.exists(_LIB_PATH) or _build_attempted:
+        return
+    _build_attempted = True
+    makefile_dir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(makefile_dir, "Makefile")):
+        return
+    try:
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", makefile_dir],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
 
 
 def _load():
     global _lib
+    if _lib is None:
+        _ensure_built()
     if _lib is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vslam_loader_open.restype = ctypes.c_void_p
