@@ -164,3 +164,73 @@ def test_ba_host_wrapper(rng):
     poses, points, err0, err1 = ba.optimize(m)
     assert err1 < err0
     assert set(poses.keys()) == {f.id for f in frames}
+
+
+# ---------------------------------------------------------------------------
+# Reference-fixture parity: the exact BA problem the reference tests ship
+# (test_ba.cpp TestBundleAdjustment: Rt.csv / points3d.csv / observations{1,2}
+# .csv, camera 525/525/319.5/239.5, points perturbed by U(-1,1) per axis,
+# poses left at ground truth, EXPECT errorAfter < errorBefore).
+# ---------------------------------------------------------------------------
+
+from vslam_tpu.io import real_fixtures as rf
+
+
+@pytest.mark.skipif(not rf.available(), reason="reference fixtures not present")
+def test_ba_reference_csv_fixture():
+    import os
+
+    res = rf._ODOM_RES
+    Rt = np.loadtxt(os.path.join(res, "Rt.csv"), delimiter=",")
+    # the reference loads fixed-size matrices — the FIRST 100 rows of each
+    # file (Eigen::Matrix<double,100,3>, test_ba.cpp TestBundleAdjustment)
+    points_gt = np.loadtxt(os.path.join(res, "points3d.csv"), delimiter=",")[:100]
+    obs1 = np.loadtxt(os.path.join(res, "observations1.csv"), delimiter=",")[:100]
+    obs2 = np.loadtxt(os.path.join(res, "observations2.csv"), delimiter=",")[:100]
+    assert Rt.shape == (4, 4) and points_gt.shape == (100, 3)
+
+    fx = fy = 525.0
+    cx, cy = 319.5, 239.5
+    poses_gt = [np.eye(4), Rt]
+
+    # same init as the reference: poses at ground truth, points perturbed by
+    # U(-1,1) per axis (test_ba.cpp TestBundleAdjustment ctor)
+    r = np.random.default_rng(7)
+    points_init = points_gt + r.uniform(-1.0, 1.0, points_gt.shape)
+
+    M = points_gt.shape[0]
+    obs_frame = np.concatenate([np.zeros(M, np.int32), np.ones(M, np.int32)])
+    obs_point = np.concatenate([np.arange(M), np.arange(M)]).astype(np.int32)
+    obs_uv = np.concatenate([obs1, obs2], axis=0)
+
+    problem = BaProblem(
+        poses=SE3(
+            jnp.asarray(np.stack([T[:3, :3] for T in poses_gt]), jnp.float32),
+            jnp.asarray(np.stack([T[:3, 3] for T in poses_gt]), jnp.float32),
+        ),
+        pose_mask=jnp.ones(2, bool),
+        points=jnp.asarray(points_init, jnp.float32),
+        point_mask=jnp.ones(M, bool),
+        obs_frame=jnp.asarray(obs_frame),
+        obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_mask=jnp.ones(2 * M, bool),
+        fx=jnp.float32(fx), fy=jnp.float32(fy), cx=jnp.float32(cx), cy=jnp.float32(cy),
+    )
+    poses, points, err0, err1 = solve_ba(problem, max_iterations=60)
+
+    # the reference's own assertion
+    assert err1 < err0
+    # stronger: the perturbation must be substantially recovered (the floor is
+    # the fixtures' pixel quantization; measured 61249 -> 28)
+    assert err1 < 0.01 * err0, (err0, err1)
+    # Pose recovery is gauge-invariant only: reprojection-only two-view BA
+    # leaves the monocular scale free (the reference's Ceres setup has the
+    # same flat direction, which is why test_ba.cpp asserts error decrease
+    # only). Rotation and translation DIRECTION must match the fixture's Rt.
+    R1 = np.asarray(poses.R[1], np.float64)
+    t1 = np.asarray(poses.t[1], np.float64)
+    rot_err = np.linalg.norm(lie_np.matrix_to_rotvec(R1.T @ Rt[:3, :3]))
+    assert rot_err < 0.02, f"rotation off fixture Rt: {rot_err}"
+    cos = t1 @ Rt[:3, 3] / (np.linalg.norm(t1) * np.linalg.norm(Rt[:3, 3]))
+    assert cos > 0.999, f"translation direction cos: {cos}"
