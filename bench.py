@@ -405,9 +405,21 @@ def bench_odometry_fps():
     N = int(os.environ.get("BENCH_ODO_FRAMES", "64"))
     CHUNK = int(os.environ.get("BENCH_ODO_CHUNK", "32"))
     K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
-    poses = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
-    p0i = lie_np.inv(poses[0])
-    poses = [p @ p0i for p in poses]
+    # Camera motion: the REAL fr2_desk ground-truth track when the reference
+    # checkout ships it (odometry/test/resource/trajectory.txt — ~70 s of the
+    # sequence's mocap at ~300 Hz), sampled at 30 Hz; the gate's motion
+    # profile is then fr2_desk's actual motion, not an invented sinusoid.
+    # BENCH_ODO_TRAJ=synthetic restores the sinusoid (also the fallback).
+    from vslam_tpu.io import real_fixtures as rf
+
+    if rf.trajectory_available() and os.environ.get("BENCH_ODO_TRAJ", "real") == "real":
+        poses = rf.real_trajectory_window(N, hz=30.0, start_s=5.0)
+        print(f"odometry gate: REAL fr2_desk motion window ({N} frames @30 Hz)",
+              file=sys.stderr)
+    else:
+        poses = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
+        p0i = lie_np.inv(poses[0])
+        poses = [p @ p0i for p in poses]
     frames = [synthetic.render(K, p, (H, W)) for p in poses]
     dt_ns = int(1e9 / 30)
     # native TUM transport dtypes (uint8 intensity, uint16 depth in 1/5000 m

@@ -45,6 +45,9 @@ __all__ = [
     "warp_rgbd_pair",
     "render_plane_texture",
     "render_rotated_view",
+    "trajectory_available",
+    "load_reference_trajectory",
+    "real_trajectory_window",
 ]
 
 REFERENCE_ROOT = os.environ.get("VSLAM_REFERENCE_ROOT", "/root/reference")
@@ -249,3 +252,48 @@ def render_rotated_view(
         np.where(ok, val, 0.0).astype(np.float32),
         z_new.astype(np.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real fr2_desk ground-truth trajectory (the reference ships ~70 s of the
+# sequence's motion-capture track at ~300 Hz as a test fixture:
+# odometry/test/resource/trajectory.txt, loaded by test_trajectory.cpp:34).
+# No images — but the real CAMERA MOTION, which is what the synthetic-scene
+# odometry gates replay so their motion profile is fr2_desk's, not an
+# invented sinusoid.
+# ---------------------------------------------------------------------------
+
+_TRAJ_PATH = os.path.join(_ODOM_RES, "trajectory.txt")
+
+
+def trajectory_available() -> bool:
+    return os.path.isfile(_TRAJ_PATH)
+
+
+def load_reference_trajectory():
+    """The shipped fr2_desk ground-truth track as {t_s: cam->world 4x4}
+    (TUM format, reference utils::loadTrajectory semantics)."""
+    from . import tum
+
+    return tum.read_trajectory(_TRAJ_PATH)
+
+
+def real_trajectory_window(
+    n_frames: int, hz: float = 30.0, start_s: float = 5.0
+) -> list:
+    """n_frames WORLD->CAMERA poses sampled at `hz` from the real fr2_desk
+    ground-truth track, normalized so the first pose is identity (the same
+    convention `synthetic.render` + the bench gates use). Sampling uses the
+    Trajectory class's constant-velocity interpolation (Trajectory.cpp:48-70
+    semantics), so the window is exactly the real camera motion."""
+    from ..odometry.trajectory import Trajectory
+
+    gt = load_reference_trajectory()
+    traj = Trajectory({int(t * 1e9): np.linalg.inv(T) for t, T in gt.items()})
+    ts = traj.timestamps
+    t0 = ts[0] + int(start_s * 1e9)
+    if t0 + int((n_frames - 1) / hz * 1e9) > ts[-1]:
+        raise ValueError(f"window of {n_frames} frames at {hz} Hz exceeds fixture span")
+    poses = [traj.pose_at(t0 + int(i / hz * 1e9)) for i in range(n_frames)]
+    p0i = lie_np.inv(poses[0])
+    return [p @ p0i for p in poses]
