@@ -329,3 +329,41 @@ def test_cli_kitti_suite(mini_kitti, mini_kitti_b, tmp_path, capsys):
     for entry in summary["results"]:
         assert os.path.exists(entry["trajectory"])
         assert entry["ate_rmse_m"] < 0.05, entry
+
+
+REF_YAML = os.path.join(
+    os.environ.get("VSLAM_REFERENCE_ROOT", "/root/reference"),
+    "config", "NodeMapping.yaml",
+)
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_YAML), reason="reference YAML not present")
+def test_cli_odometry_with_reference_yaml(mini_dataset, tmp_path, capsys):
+    """The reference's OWN canonical runtime config drives the pipeline
+    end-to-end: `--config /root/reference/config/NodeMapping.yaml` (the file
+    NodeMapping.cpp:52-64 declares its parameters from) tracks the mini
+    dataset within budget — the 'reference YAMLs load 1:1' claim exercised
+    through the full CLI, not just the loader."""
+    out = str(tmp_path / "traj_refcfg.txt")
+    rc = cli_main(
+        [
+            "odometry",
+            "--dataset", str(mini_dataset),
+            "--out", out,
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+            "--config", REF_YAML,
+            "--no-eval",
+        ]
+    )
+    assert rc == 0
+    rc = cli_main(
+        [
+            "evaluate",
+            "--gt", str(mini_dataset / "groundtruth.txt"),
+            "--algo", out,
+            "--fixed-delta", "0.2",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ate_rmse_m"] < 0.02, res
