@@ -318,14 +318,28 @@ def test_fused_sampling_robust_loss_matches_gather(loss_name):
     assert d < 1e-3, d
 
 
-@pytest.mark.parametrize("loss_name", ["Huber", "Tukey", "tdistribution"])
-def test_fused_gn_robust_loss_matches_gather(loss_name):
+@pytest.mark.parametrize(
+    "loss_name,scaler",
+    [
+        ("Huber", "reference"),
+        ("Tukey", "reference"),
+        ("tdistribution", "reference"),
+        # non-reference scalers also run in-kernel (mad: two rank bisections,
+        # mean: closed-form sums over the cached residuals)
+        ("Huber", "mad"),
+        ("Tukey", "mad"),
+        ("Huber", "mean"),
+        ("Tukey", "mean"),
+    ],
+)
+def test_fused_gn_robust_loss_matches_gather(loss_name, scaler):
     """Robust losses fully INSIDE the in-kernel GN solver (fused_solve.py):
-    per-iteration residual caching in VMEM scratch, the global scale (median
-    rank-bisection for Huber/Tukey, Scaler.cpp:21-35; t-dist fixed point,
-    Scaler.cpp:49-67) and the weighted Gram pass all run in ONE kernel — and
-    must converge to the gather path's pose (which computes the exact
-    sort-based median), preserving per-pair early exit under vmap."""
+    per-iteration residual caching in VMEM scratch, the global scale (median/
+    MAD rank-bisection for Huber/Tukey, Scaler.cpp:21-35; mean, Scaler.cpp:
+    37-47; t-dist fixed point, Scaler.cpp:49-67) and the weighted Gram pass
+    all run in ONE kernel — and must converge to the gather path's pose
+    (which computes the exact sort-based median), preserving per-pair early
+    exit under vmap."""
     import dataclasses
 
     from vslam_tpu.solvers import LossConfig
@@ -335,7 +349,8 @@ def test_fused_gn_robust_loss_matches_gather(loss_name):
     f_ref, f_cur = make_frame(np.eye(4)), make_frame(pose_cur)
     base = AlignmentConfig(
         min_gradient=10.0, solver=solver_cfg(), include_prior=False,
-        interpolation="bilinear", max_points=4096, loss=LossConfig(loss_name),
+        interpolation="bilinear", max_points=4096,
+        loss=LossConfig(loss_name, scaler=scaler),
     )
     results = {}
     for name in ["gather", "fused_gn"]:

@@ -195,7 +195,7 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
                 H, W, F, nc, interp, include_prior, prior_weight,
                 max_iterations, min_step_size, min_gradient, min_reduction,
                 min_relative_reduction, orthonormalize,
-                loss_kind, huber_c, tdist_v):
+                loss_kind, scaler_kind, huber_c, tdist_v):
     out_ref = out_ref_2d.at[0]
     frames = []
     for f in range(F):
@@ -256,18 +256,20 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
         )
         return jnp.float32(0.0), jnp.maximum(sigma, 1e-12)
 
-    def _scale_median(f, n_f):
-        """MedianScaler (Scaler.cpp:21-35): offset = median, scale =
-        sqrt(sum|r - med| / (n - 1)). The median is a rank selection via
-        value-domain bisection over the cached residuals (24 halvings of the
-        [min, max] bracket -> ~3e-5 intensity-unit precision, far below the
-        sensor's quantization step); two ranks are averaged exactly like
-        core.image.masked_median."""
+    def _masked_median(f, n_f, value):
+        """Masked median of value(r) over the frame's interest set, as a rank
+        selection via value-domain bisection over the cached residuals (24
+        halvings of the [min, max] bracket -> ~3e-5 intensity-unit precision,
+        far below the sensor's quantization step); two ranks are averaged
+        exactly like core.image.masked_median. `value` maps the cached
+        residual chunk to the statistic's domain (identity for the median of
+        r, |r - med| for the MAD deviation pass)."""
         mn, mx = jnp.float32(jnp.inf), jnp.float32(-jnp.inf)
         for c in range(nc):
             m, r = _masked_vals(f, c)
-            mn = jnp.minimum(mn, jnp.min(jnp.where(m, r, jnp.inf)))
-            mx = jnp.maximum(mx, jnp.max(jnp.where(m, r, -jnp.inf)))
+            v = value(r)
+            mn = jnp.minimum(mn, jnp.min(jnp.where(m, v, jnp.inf)))
+            mx = jnp.maximum(mx, jnp.max(jnp.where(m, v, -jnp.inf)))
         empty = ~(mx >= mn)  # no masked entries
         mn = jnp.where(empty, 0.0, mn)
         mx = jnp.where(empty, 0.0, mx)
@@ -276,7 +278,7 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
             acc = jnp.float32(0.0)
             for c in range(nc):
                 m, r = _masked_vals(f, c)
-                acc = acc + jnp.sum(jnp.where(m & (r <= x), 1.0, 0.0))
+                acc = acc + jnp.sum(jnp.where(m & (value(r) <= x), 1.0, 0.0))
             return acc
 
         def rank_value(k):  # k-th smallest (0-indexed), k an f32 scalar
@@ -292,7 +294,12 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
         k_lo = jnp.maximum(jnp.floor((n_f - 1.0) * 0.5), 0.0)
         k_hi = jnp.maximum(jnp.floor(n_f * 0.5), 0.0)
         med = 0.5 * (rank_value(k_lo) + rank_value(k_hi))
-        med = jnp.where(n_f > 0, med, 0.0)
+        return jnp.where(n_f > 0, med, 0.0)
+
+    def _scale_median(f, n_f):
+        """MedianScaler (Scaler.cpp:21-35): offset = median, scale =
+        sqrt(sum|r - med| / (n - 1))."""
+        med = _masked_median(f, n_f, lambda r: r)
         dev = jnp.float32(0.0)
         for c in range(nc):
             m, r = _masked_vals(f, c)
@@ -300,6 +307,35 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
         std = jnp.sqrt(dev / jnp.maximum(n_f - 1.0, 1.0))
         std = jnp.where(std > 0, std, jnp.float32(1.0))
         return med, std
+
+    def _scale_mad(f, n_f):
+        """Extension MAD scaler (solvers.loss._mad_scale): offset = median,
+        sigma = 1.4826 * median|r - med| — two rank bisections over the same
+        cached residuals."""
+        med = _masked_median(f, n_f, lambda r: r)
+        mad = _masked_median(f, n_f, lambda r: jnp.abs(r - med))
+        sigma = 1.4826 * mad
+        sigma = jnp.where(sigma > 1e-6, sigma, jnp.float32(1.0))
+        return med, sigma
+
+    def _scale_mean(f, n_f):
+        """MeanScaler (Scaler.cpp:37-47), identical formulas to
+        solvers.loss._mean_scale (empty set -> offset 0, scale 1)."""
+        n_safe = jnp.maximum(n_f, 1.0)
+        acc = jnp.float32(0.0)
+        for c in range(nc):
+            m, r = _masked_vals(f, c)
+            acc = acc + jnp.sum(jnp.where(m, r, 0.0))
+        mean = acc / n_safe
+        dev = jnp.float32(0.0)
+        for c in range(nc):
+            m, r = _masked_vals(f, c)
+            dev = dev + jnp.sum(jnp.where(m, jnp.abs(r - mean), 0.0))
+        std = jnp.sqrt(dev / jnp.maximum(n_f - 1.0, 1.0))
+        empty = n_f < 1.0
+        mean = jnp.where(empty, 0.0, mean)
+        std = jnp.where(empty | (std <= 0), jnp.float32(1.0), std)
+        return mean, std
 
     def compute_ne(Rd, td):
         """Stacked, normalized NE at delta: A (6x6 nested tuple), b (6), chi2."""
@@ -329,7 +365,14 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
                     r_buf[f, c] = r.reshape(8, 128)
                     vis_buf[f, c] = visible.astype(jnp.float32).reshape(8, 128)
                 if loss_kind == 3:
+                    # tdistribution pairs with its own fixed-point scale
+                    # regardless of the scaler setting (NodeMapping.cpp:73-84,
+                    # solvers.loss.compute_scale)
                     offset, sigma = _scale_tdist(f, n_f)
+                elif scaler_kind == 1:
+                    offset, sigma = _scale_mad(f, n_f)
+                elif scaler_kind == 2:
+                    offset, sigma = _scale_mean(f, n_f)
                 else:
                     offset, sigma = _scale_median(f, n_f)
                 G = jnp.zeros((8, 8), jnp.float32)
@@ -524,6 +567,7 @@ def solve_level_fused(
 
     s = cfg.solver
     loss_kind = {"None": 0, "Huber": 1, "Tukey": 2, "tdistribution": 3}[cfg.loss.function]
+    scaler_kind = {"reference": 0, "mad": 1, "mean": 2}[cfg.loss.scaler]
     kernel = functools.partial(
         _solve_kernel if loss_kind == 0 else _solve_kernel_robust,
         H=H, W=W, F=F, nc=nc,
@@ -539,6 +583,7 @@ def solve_level_fused(
         ),
         orthonormalize=bool(cfg.orthonormalize),
         loss_kind=loss_kind,
+        scaler_kind=scaler_kind,
         huber_c=float(cfg.loss.huber_c),
         tdist_v=float(cfg.loss.tdistribution_v),
     )

@@ -82,8 +82,8 @@ class AlignmentConfig:
     # resident in VMEM (fused_ne.py); quadratic loss only (robust losses need
     # a global residual scale and fall back to the gather path). "fused_gn":
     # the ENTIRE per-level Gauss-Newton solve as one kernel (fused_solve.py):
-    # per-pair early exit under vmap + zero per-iteration XLA overhead;
-    # quadratic loss only.
+    # per-pair early exit under vmap + zero per-iteration XLA overhead; all
+    # losses and scalers run in-kernel.
     sampler: str = "gather"
     # Image dtype for the fused sampler's MXU one-hot matmuls: "bfloat16"
     # doubles MXU throughput; intensities are 0..255 so bf16 rounding stays
@@ -535,16 +535,12 @@ def solve_level(
     """
     dtype = image_cur.dtype
 
-    if (
-        cfg.sampler == "fused_gn"
-        and not record_iterations
-        and (cfg.loss.function == "None" or cfg.loss.scaler == "reference")
-    ):
+    if cfg.sampler == "fused_gn" and not record_iterations:
         # Whole-level GN as ONE kernel: per-pair early exit under vmap, zero
         # per-iteration XLA overhead (fused_solve.py). Covers all four
-        # reference losses — robust scales (median bisection / t-dist fixed
-        # point) run in-kernel over VMEM-cached residuals. The extension
-        # "mad" scaler stays on the fused-sampling + XLA-weights path below.
+        # reference losses AND all three scalers — the scale statistics
+        # (median / MAD rank bisection, mean, t-dist fixed point) run
+        # in-kernel over VMEM-cached residuals.
         from .fused_solve import solve_level_fused
 
         return solve_level_fused(data, rel0, image_cur, cam_cur, cfg, x_pred)
