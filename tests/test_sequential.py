@@ -133,14 +133,23 @@ def test_fused_scan_with_mapping_backend():
 
 
 def test_async_backend_rebase_on_correction():
-    """Async mapping: a correction that folds into the device chain BETWEEN a
-    chunk's solve and that chunk's backend submission must also re-base the
-    poses the backend receives. Otherwise the backend measures the same
-    drift against its landmark map a second time and the write-back gate
-    re-applies it (overshoot, then oscillation). The stub backend returns a
-    fixed world-frame delta for the first chunk and records every pose list
-    it is handed; the next chunk's poses must arrive pre-composed with it."""
-    poses, frames = _make_sequence()
+    """Async mapping: corrections that fold into the device chain AFTER a
+    chunk's solve must also re-base the poses the backend receives for that
+    chunk. Otherwise the backend measures the same drift against its
+    landmark map a second time and the write-back gate re-applies it
+    (overshoot, then oscillation).
+
+    The pipelined schedule's deterministic contract: a correction measured
+    on chunk k is drained at chunk k+1's retire — which runs after chunk
+    k+2's dispatch — so it folds into the live chain before chunk k+3's
+    dispatch, and every chunk solved in between is re-based via the
+    cumulative-correction bookkeeping (SequentialOdometry._C_total). The
+    stub backend returns a fixed world-frame delta for the first chunk and
+    records every pose list it is handed."""
+    N = 17  # seed + 4 full chunks of 4: c1=1-4, c2=5-8, c3=9-12, c4=13-16
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    traj = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
+    frames = [synthetic.render(K, p, (H, W)) for p in traj]
     delta = np.eye(4)
     delta[:3, 3] = [0.5, -0.2, 0.1]
 
@@ -160,20 +169,26 @@ def test_async_backend_rebase_on_correction():
         mapping=backend, async_mapping=True,
     )
     results = odo.run((i * DT_NS, f[0], f[1]) for i, f in enumerate(frames))
-    assert len(results) == N_FRAMES
-    # 10 frames: seed (1) + chunk of 4 (frames 1-4) + chunk of 4 (5-8) + tail (9)
-    assert len(backend.calls) >= 3
-    # chunk 2 (frames 5-8) was solved before chunk 1's delta folded into the
-    # device chain; the backend must see its poses in the corrected frame
-    chunk2_traj = [np.asarray(T) for _, T, _ in results[5:9]]
-    for handed, raw in zip(backend.calls[2], chunk2_traj):
-        np.testing.assert_allclose(handed, delta @ raw, atol=1e-12)
+    assert len(results) == N
+    assert len(backend.calls) == 5
+    # chunks 2 and 3 were both solved before chunk 1's delta folded into the
+    # device chain (c2 dispatched before the job even ran; c3 dispatched in
+    # the same _advance whose retire drains it); the backend must see BOTH
+    # in the corrected frame
+    raw = [np.asarray(T) for _, T, _ in results]
+    for handed, raw_T in zip(backend.calls[2], raw[5:9]):
+        np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
+    for handed, raw_T in zip(backend.calls[3], raw[9:13]):
+        np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
     # ...while the chunk AFTER the fold continues from the corrected chain
-    # directly (no extra re-base): tail frame 9 tracks from a state that
-    # already contains delta, so its pose must carry the correction
-    tail = np.asarray(results[9][1])
-    drift = np.linalg.norm((tail @ lie_np.inv(chunk2_traj[-1]))[:3, 3])
+    # directly: frame 13 tracks from a state that already contains delta, so
+    # its pose must carry the correction (and the backend is handed its
+    # poses UN-re-based — the chain already includes delta)
+    jump = np.asarray(results[13][1])
+    drift = np.linalg.norm((jump @ lie_np.inv(raw[12]))[:3, 3])
     assert drift > 0.3, "the fold never reached the device chain"
+    for handed, raw_T in zip(backend.calls[4], raw[13:17]):
+        np.testing.assert_allclose(handed, raw_T, atol=1e-12)
 
 
 def test_descriptor_bit_packing_roundtrip():

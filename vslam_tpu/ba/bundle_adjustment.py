@@ -385,12 +385,21 @@ class BundleAdjustment:
             problem, max_iterations=self.max_iterations
         )
 
-        # poses_out is in `order` space; map back to kf order.
-        # ONE device fetch for everything (five separate np.asarray/float
-        # calls would each pay a host<->device round trip)
-        R_all, t_all, pts_all, err0, err1 = jax.device_get(
-            (poses_out.R, poses_out.t, points_out, err0, err1)
-        )
+        # Dispatch EVERYTHING (solve + covariance + residual count) before
+        # the single blocking fetch: jit calls are async, so the covariance
+        # program queues right behind the solve and the whole optimize pays
+        # exactly ONE host<->device round trip — the per-solve cost is
+        # latency-bound on a remote-attached chip, not compute-bound.
+        fetch = [poses_out.R, poses_out.t, points_out, err0, err1]
+        if self.compute_pose_covariance:
+            slot_newest = int(inv_order[0])
+            cov = pose_covariance(problem, poses_out, points_out, slot_newest)
+            n_eff = effective_residual_count(problem, poses_out, points_out)
+            fetch += [cov, n_eff]
+        got = jax.device_get(tuple(fetch))
+        R_all, t_all, pts_all, err0, err1 = got[:5]
+
+        # poses_out is in `order` space; map back to kf order
         pose_updates: Dict[int, np.ndarray] = {}
         R_all = np.asarray(R_all, np.float64)
         t_all = np.asarray(t_all, np.float64)
@@ -410,10 +419,7 @@ class BundleAdjustment:
         # in sequential_mapping) use it to tell real drift from the BA
         # noise floor. Right-multiplicative tangent: pose_new = pose.exp(d).
         if self.compute_pose_covariance:
-            slot_newest = int(inv_order[0])
-            cov = pose_covariance(problem, poses_out, points_out, slot_newest)
-            n_eff = effective_residual_count(problem, poses_out, points_out)
-            cov_h, n_eff_h = jax.device_get((cov, n_eff))  # one fetch
+            cov_h, n_eff_h = got[5], got[6]
             dof = max(float(n_eff_h) - (6 * (K - 1) + 3 * len(pts)), 1.0)
             sigma2 = float(err1) / dof
             self.last_newest_cov = np.asarray(cov_h, np.float64) * sigma2

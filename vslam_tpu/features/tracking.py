@@ -161,8 +161,13 @@ class FeatureTracking:
         return groups
 
     def track(self, cur: HostFrame, slam_map: Map) -> List[Landmark]:
-        """Full per-keyframe tracking; returns newly created landmarks."""
-        self.extract(cur)
+        """Full per-keyframe tracking; returns newly created landmarks.
+
+        Extraction is skipped when the caller already populated the feature
+        fields (the chunk backend extracts ALL of a chunk's keyframes in one
+        batched device program, `sequential_mapping._light_detect_batch`)."""
+        if cur.keypoints is None:
+            self.extract(cur)
         refs = [f for f in slam_map.keyframes() if f is not cur]
         if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
             return []

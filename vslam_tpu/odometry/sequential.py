@@ -271,6 +271,14 @@ class SequentialOdometry:
             )
         self.state: Optional[SequentialState] = None
         self._t_last_ns: Optional[int] = None
+        # cumulative world-frame correction ever folded into the device pose
+        # chain (product of all backend deltas). Each dispatched chunk records
+        # the value at dispatch time; re-basing a chunk's poses into the
+        # backend's current map frame is then C_now @ inv(C_at_dispatch) —
+        # exact regardless of how many corrections landed while the chunk
+        # was in flight (the async path pipelines chunks, so more than one
+        # can land between a chunk's dispatch and its backend submission).
+        self._C_total: np.ndarray = np.eye(4)
 
     def _apply_correction(self, delta: np.ndarray) -> None:
         """Left-compose a world-frame correction (from BA / loop closure)
@@ -282,6 +290,7 @@ class SequentialOdometry:
             pose_kf=se3.orthonormalize(se3.compose(d, self.state.pose_kf)),
             pose_last=se3.orthonormalize(se3.compose(d, self.state.pose_last)),
         )
+        self._C_total = np.asarray(delta, np.float64) @ self._C_total
 
     def run(self, stream: Iterable[Tuple[int, np.ndarray, np.ndarray]]):
         """Returns list of (t_ns, pose world->cam 4x4 f64, cov 6x6 f64).
@@ -289,7 +298,21 @@ class SequentialOdometry:
         Pipelined: each chunk is dispatched asynchronously and its results
         are fetched only when the NEXT chunk has been dispatched, so the
         host->device transfer of chunk k+1 overlaps the solve of chunk k
-        (the state chain stays on device; JAX dispatch is async)."""
+        (the state chain stays on device; JAX dispatch is async). Mapping
+        mode keeps the SAME pipelining (async backend, the default): chunk
+        k+1's scan is in flight while chunk k is collected and handed to the
+        backend worker, and the worker's device programs + tunnel round
+        trips overlap the NEXT scan's solve (draining the worker before a
+        dispatch would idle the device exactly while the backend sits in
+        latency-bound fetches — measured 19 -> ~30 fps on a remote chip).
+        The deterministic contract: a correction measured on chunk k folds
+        into the device chain before chunk k+3's dispatch, and the
+        cumulative-correction bookkeeping (`_C_total`) re-bases each chunk's
+        poses into the backend's map frame no matter how many corrections
+        landed while it was in flight. Synchronous mapping
+        (`async_mapping=False`) trades the pipelining away so every
+        correction reaches the device state before the next chunk runs —
+        the reference-cadence parity mode."""
         out: List[Tuple[int, np.ndarray, np.ndarray]] = []
         buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
         pending = None
@@ -307,71 +330,72 @@ class SequentialOdometry:
                     )
                 continue
             if len(buf) == self.chunk:
-                if self.mapping is not None:
-                    out.extend(self._run_chunk_mapped(buf))
-                else:
-                    nxt = self._dispatch(buf)
-                    if pending is not None:
-                        out.extend(self._collect(*pending))
-                    pending = nxt
+                pending = self._advance(buf, pending, out)
                 buf = []
         if buf:
-            if self.mapping is not None:
-                out.extend(self._run_chunk_mapped(buf))
-            else:
-                nxt = self._dispatch(buf)
-                if pending is not None:
-                    out.extend(self._collect(*pending))
-                pending = nxt
+            pending = self._advance(buf, pending, out)
         if pending is not None:
-            out.extend(self._collect(*pending))
+            self._retire(pending, out)
         if self.async_mapping:
             # flush the worker so the final correction lands in the device
             # state (a later run continues from corrected poses)
             self._drain_backend()
         return out
 
-    def _run_chunk_mapped(self, buf):
-        """Mapping mode. Synchronous (`async_mapping=False`): the backend's
-        BA/loop-closure correction reaches the device state before the next
-        chunk, trading away chunk pipelining. Asynchronous (default): the
-        backend for chunk k runs in the worker thread WHILE chunk k+1's scan
-        occupies the device; its correction folds in before chunk k+2 — one
-        chunk of extra latency on the write-back, full overlap of the
-        backend's host work with device time."""
+    def _advance(self, buf, pending, out):
+        """Dispatch the next chunk, then retire the previous one (the retire
+        blocks on the previous chunk's fetch WHILE the new chunk's scan owns
+        the device). Synchronous mapping retires FIRST so the backend's
+        correction is folded into the state the new chunk is solved from."""
+        sync_mapping = self.mapping is not None and not self.async_mapping
+        if sync_mapping and pending is not None:
+            self._retire(pending, out)
+            pending = None
         nxt = self._dispatch(buf)
-        staged = self._last_staged
+        rec = (
+            nxt,
+            list(buf),
+            self._last_staged if self.mapping is not None else None,
+            self._C_total.copy(),
+        )
+        if pending is not None:
+            self._retire(pending, out)
+        return rec
+
+    def _retire(self, rec, out):
+        """Fetch a dispatched chunk's results, append them to the trajectory
+        (odometry estimates — the reference's NodeMapping also writes
+        per-frame odometry poses; corrections shape FUTURE tracking via the
+        device state), and hand the chunk to the mapping backend."""
+        nxt, buf, staged, C_dispatch = rec
         results = self._collect(*nxt)
+        out.extend(results)
+        if self.mapping is None:
+            return
         kf_flags = list(self._last_kf_flags)
         est_poses = [r[1] for r in results]
+        covs = [r[2] for r in results]
         kwargs = {"device_images": staged}
         if self.async_mapping:
-            # fold in the PREVIOUS chunk's correction (its backend ran while
-            # this chunk was solving), then hand this chunk to the worker.
-            # This chunk was SOLVED before the correction landed, so the
-            # poses the backend sees must be re-based into the corrected
-            # frame — otherwise BA re-measures the same drift against the
-            # landmark map and the gate folds it a second time (overshoot,
-            # then oscillation). Synchronous mode is immune: its poses
-            # always predate their own chunk's correction only.
-            delta_prev = self._drain_backend()
-            if delta_prev is not None:
-                est_poses = [delta_prev @ p for p in est_poses]
-            args = (buf, est_poses, [r[2] for r in results], kf_flags,
-                    self.camera, self.cfg)
+            # Corrections that landed AFTER this chunk was dispatched are
+            # missing from its solved poses; the backend must see them in
+            # its own (corrected) map frame or BA re-measures drift that was
+            # already folded (overshoot, then oscillation). Drain the
+            # worker's pending correction first so _C_total is current.
+            self._drain_backend()
+            rebase = self._C_total @ np.linalg.inv(C_dispatch)
+            if not np.allclose(rebase, np.eye(4), atol=1e-12):
+                est_poses = [rebase @ p for p in est_poses]
+            args = (buf, est_poses, covs, kf_flags, self.camera, self.cfg)
             self._backend_future = self._executor.submit(
                 self.mapping.process_chunk, *args, **kwargs
             )
         else:
-            args = (buf, est_poses, [r[2] for r in results], kf_flags,
-                    self.camera, self.cfg)
+            args = (buf, est_poses, covs, kf_flags, self.camera, self.cfg)
             delta = self.mapping.process_chunk(*args, **kwargs)
             if delta is not None:
-                # the trajectory keeps this chunk's odometry estimates (the
-                # reference's NodeMapping also writes per-frame odometry
-                # poses); the correction shapes FUTURE tracking via state
                 self._apply_correction(delta)
-        return results
+        return
 
     def _drain_backend(self) -> Optional[np.ndarray]:
         """Apply the pending async backend correction, if any. Returns the

@@ -58,6 +58,38 @@ def _light_arrays(
     return inten, depth, jnp.zeros_like(inten)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth_scale", "stereo_baseline", "max_disparity", "threshold", "cell"
+    ),
+)
+def _light_detect_batch(
+    intensity, second, fx, depth_scale: float, stereo_baseline: float,
+    max_disparity: int, threshold: float, cell: int,
+):
+    """Level-0 conversion + FAST/BRIEF extraction for ALL of a chunk's
+    keyframes in ONE device program. The per-keyframe path costs one
+    dispatch + one fetch per keyframe (`FeatureTracking.extract`) — ~100 ms
+    each over a remote-attached chip, the single largest backend cost
+    measured on hardware. Batching the keyframes (typically chunk/kf_period
+    ~ 3) collapses that to one round trip per chunk; the light intensity/
+    depth planes stay on device (the returned Frame slices are lazy)."""
+    from ..features.tracking import _detect_describe
+
+    def one(inten_j, second_j):
+        inten, depth, _ = _light_arrays(
+            inten_j, second_j, fx, depth_scale=depth_scale,
+            stereo_baseline=stereo_baseline, max_disparity=max_disparity,
+        )
+        uv, resp, keep, desc, z = _detect_describe(
+            inten, depth, threshold=threshold, cell=cell
+        )
+        return inten, depth, uv, resp, keep, desc, z
+
+    return jax.vmap(one)(intensity, second)
+
+
 def _light_frame(
     inten_dev, second_dev, camera: Camera, cfg, cam_host: Camera
 ) -> Frame:
@@ -93,6 +125,7 @@ class ChunkMappingBackend:
         ba_max_iterations: int = 20,
         pose_write_back: str = "gated",  # "gated" | "always" | "off"
         min_correction: float = 1e-3,
+        ba_schedule: str = "chunk",  # "chunk" | "keyframe"
     ):
         from ..features.tracking import FeatureTracking
 
@@ -117,6 +150,15 @@ class ChunkMappingBackend:
         # write-back at all).
         if pose_write_back not in ("gated", "always", "off"):
             raise ValueError(f"unknown pose_write_back {pose_write_back!r}")
+        # ba_schedule: when the windowed BA runs. "keyframe" is the
+        # reference cadence (one solve per keyframe, NodeMapping.cpp:166);
+        # "chunk" (default) solves once per chunk after all of its keyframes
+        # are inserted and tracked — the same window is re-solved either
+        # way, so per-keyframe solves mostly repeat work at ~100 ms/solve on
+        # a remote chip (measured: 1/3 of the whole backend's budget).
+        if ba_schedule not in ("chunk", "keyframe"):
+            raise ValueError(f"unknown ba_schedule {ba_schedule!r}")
+        self.ba_schedule = ba_schedule
         self.pose_write_back = pose_write_back
         self.min_correction = float(min_correction)
         self.map = Map()
@@ -181,44 +223,70 @@ class ChunkMappingBackend:
             self._cam_host = Camera(
                 np.float32(fx), np.float32(fy), np.float32(cx), np.float32(cy)
             )
-        for j, is_kf in enumerate(kf_flags):
-            if not bool(is_kf):
-                continue
+        kf_js = [j for j, is_kf in enumerate(kf_flags) if bool(is_kf)]
+        if not kf_js:
+            return None
+
+        # ONE device round trip for every keyframe's extraction (see
+        # _light_detect_batch); the light planes stay on device as lazy
+        # slices of the batch
+        batch = None
+        if device_images is not None:
+            try:
+                idxs = jnp.asarray(np.asarray(kf_js, np.int32))
+                out = _light_detect_batch(
+                    device_images[0][idxs],
+                    device_images[1][idxs],
+                    camera.fx,
+                    depth_scale=float(cfg.depth_scale),
+                    stereo_baseline=float(cfg.stereo_baseline),
+                    max_disparity=int(getattr(cfg, "stereo_max_disparity", 96)),
+                    threshold=float(self._tracking.fast_threshold),
+                    cell=int(self._tracking.grid_cell),
+                )
+                feats = jax.device_get(out[2:])  # uv, resp, keep, desc, z
+                batch = (out[0], out[1], jnp.zeros_like(out[0][0]), feats)
+            except Exception as exc:
+                self._log.warning("batched keyframe extraction failed: %s", exc)
+                batch = None
+
+        last_frame: Optional[HostFrame] = None
+        last_est: Optional[np.ndarray] = None
+        for bi, j in enumerate(kf_js):
             t_ns, intensity, depth = buf[j]
             est_pose = np.asarray(poses[j], np.float64)
-            if device_images is not None:
-                inten_j, second_j = device_images[0][j], device_images[1][j]
+            if batch is not None:
+                inten_b, depth_b, zeros, (uv, _resp, keep, desc, z) = batch
+                dev = Frame(
+                    intensity=(inten_b[bi],), depth=(depth_b[bi],),
+                    dIx=(zeros,), dIy=(zeros,), cameras=(self._cam_host,),
+                    pose=se3.SE3(np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
+                )
+                frame = HostFrame(
+                    frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j])
+                )
+                k = keep[bi]
+                frame.keypoints = uv[bi][k]
+                frame.descriptors = desc[bi][k]
+                frame.kp_depth = z[bi][k]
+                frame.kp_landmark = np.full(len(frame.keypoints), -1, np.int64)
             else:
-                inten_j, second_j = jnp.asarray(intensity), jnp.asarray(depth)
-            dev = _light_frame(inten_j, second_j, camera, cfg, self._cam_host)
-            frame = HostFrame(frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j]))
+                if device_images is not None:
+                    inten_j, second_j = device_images[0][j], device_images[1][j]
+                else:
+                    inten_j, second_j = jnp.asarray(intensity), jnp.asarray(depth)
+                dev = _light_frame(inten_j, second_j, camera, cfg, self._cam_host)
+                frame = HostFrame(
+                    frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j])
+                )
             self.map.insert(frame, True)
+            last_frame, last_est = frame, est_pose
             try:
                 new_points = self._tracking.track(frame, self.map)
                 self.map.insert_points(new_points)
-                if self._ba is not None and len(self.map.keyframes()) >= 2:
-                    ba_poses, points, err0, err1 = self._ba.optimize(self.map)
-                    if err1 < err0 and self._ba_sane(ba_poses):
-                        self.map.update_points(points)
-                        corrected = ba_poses[frame.id]
-                        d = corrected @ lie_np.inv(est_pose)
-                        if self.pose_write_back == "always":
-                            # reference semantics: persist every BA pose
-                            self.map.update_poses(ba_poses)
-                            delta = d
-                            if self._graph is not None:
-                                for fid, T in ba_poses.items():
-                                    self._graph.update_pose(fid, T)
-                        elif self.pose_write_back == "gated" and self._drift_significant(
-                            est_pose, corrected
-                        ):
-                            # real drift: correct the NEWEST keyframe + the
-                            # device chain; older keyframes (the landmark
-                            # anchors) keep their odometry poses
-                            self.map.update_pose(frame.id, corrected)
-                            delta = d
-                            if self._graph is not None:
-                                self._graph.update_pose(frame.id, corrected)
+                if self.ba_schedule == "keyframe":
+                    d = self._run_ba(frame, est_pose)
+                    delta = d if d is not None else delta
                 if self._graph is not None:
                     self._graph.add_keyframe(frame)
                     corrections = self._graph.try_close(frame)
@@ -232,4 +300,45 @@ class ChunkMappingBackend:
                         delta = corrections[frame.id] @ lie_np.inv(est_pose)
             except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
                 self._log.warning("chunk mapping backend failed: %s", exc)
+        if self.ba_schedule == "chunk" and last_frame is not None:
+            # one windowed solve per chunk, anchored on the newest keyframe
+            # (the same sliding window a per-keyframe cadence re-solves
+            # repeatedly — see ba_schedule in __init__)
+            try:
+                d = self._run_ba(last_frame, last_est)
+                delta = d if d is not None else delta
+            except Exception as exc:
+                self._log.warning("chunk BA failed: %s", exc)
+        return delta
+
+    def _run_ba(
+        self, frame: HostFrame, est_pose: np.ndarray
+    ) -> Optional[np.ndarray]:
+        """Windowed BA + the pose write-back policy. Returns the world-frame
+        correction for the device chain, or None."""
+        if self._ba is None or len(self.map.keyframes()) < 2:
+            return None
+        delta: Optional[np.ndarray] = None
+        ba_poses, points, err0, err1 = self._ba.optimize(self.map)
+        if err1 < err0 and self._ba_sane(ba_poses):
+            self.map.update_points(points)
+            corrected = ba_poses[frame.id]
+            d = corrected @ lie_np.inv(est_pose)
+            if self.pose_write_back == "always":
+                # reference semantics: persist every BA pose
+                self.map.update_poses(ba_poses)
+                delta = d
+                if self._graph is not None:
+                    for fid, T in ba_poses.items():
+                        self._graph.update_pose(fid, T)
+            elif self.pose_write_back == "gated" and self._drift_significant(
+                est_pose, corrected
+            ):
+                # real drift: correct the NEWEST keyframe + the device
+                # chain; older keyframes (the landmark anchors) keep
+                # their odometry poses
+                self.map.update_pose(frame.id, corrected)
+                delta = d
+                if self._graph is not None:
+                    self._graph.update_pose(frame.id, corrected)
         return delta

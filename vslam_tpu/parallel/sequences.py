@@ -296,7 +296,7 @@ class MultiSequenceOdometry:
                     # re-base the poses handed to the backends into the
                     # corrected frame, so BA doesn't re-measure (and the gate
                     # doesn't re-apply) the same drift — see
-                    # SequentialOdometry._run_chunk_mapped
+                    # SequentialOdometry._retire
                     kf_rows, results = rows
                     for s, d in prev_deltas.items():
                         results[s] = [(t, d @ T, c) for (t, T, c) in results[s]]
