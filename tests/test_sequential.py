@@ -132,6 +132,60 @@ def test_fused_scan_with_mapping_backend():
         np.testing.assert_allclose(T1, T3, atol=1e-9)
 
 
+def test_chunk_batched_tracking_matches_sequential():
+    """track_schedule='chunk' (ALL of a chunk's keyframes matched in one
+    vmapped device program, FeatureTracking.track_batch) vs the reference's
+    per-keyframe cadence: same trajectory accuracy, comparable landmark
+    yield, and in-chunk keyframes share landmarks via the transitive
+    resolution path."""
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    N = 12
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    CAM = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N, trans_amp=0.06, rot_amp=0.02)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    frames = [synthetic.render(K, p, (H, W)) for p in poses]
+    dt_ns = int(1e9 / 30)
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=10.0,
+            solver=SolverConfig(max_iterations=50, min_step_size=1e-7),
+            include_prior=True,
+        ),
+        n_levels=3,
+        kf_period=3,  # chunk=6 below -> 2 keyframes per chunk
+    )
+
+    def run(track_schedule):
+        backend = ChunkMappingBackend(enable_ba=True, track_schedule=track_schedule)
+        odo = SequentialOdometry(CAM, cfg, chunk=6, mapping=backend)
+        results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+        errs = [
+            np.linalg.norm(lie_np.log(lie_np.relative(np.asarray(T), poses[i])))
+            for i, (_, T, _) in enumerate(results)
+        ]
+        return backend, float(np.mean(errs))
+
+    b_chunk, err_chunk = run("chunk")
+    b_seq, err_seq = run("keyframe")
+    assert err_chunk < 0.01, err_chunk
+    assert err_seq < 0.01, err_seq
+    assert b_chunk.n_landmarks > 0 and b_seq.n_landmarks > 0
+    # same physical scene, same detector output -> the two cadences must
+    # triangulate comparable landmark sets (the batched path only changes
+    # WHEN associations resolve, not what can be matched)
+    ratio = b_chunk.n_landmarks / b_seq.n_landmarks
+    assert 0.6 < ratio < 1.7, (b_chunk.n_landmarks, b_seq.n_landmarks)
+    # transitive in-chunk association: at least one landmark is observed by
+    # more than one keyframe under the batched cadence
+    multi = [p for p in b_chunk.map.points() if len(p.observations) >= 2]
+    assert multi, "batched tracking produced no multi-view landmarks"
+
+
 def test_async_backend_rebase_on_correction():
     """Async mapping: corrections that fold into the device chain AFTER a
     chunk's solve must also re-base the poses the backend receives for that

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core import lie_np
 from ..odometry.map import HostFrame, Landmark, Map
+from ..utils import timer
 from . import descriptor as desc_mod
 from . import detector as det_mod
 from . import matcher as match_mod
@@ -57,6 +58,19 @@ def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy,
     return match_mod.ratio_match(
         d + r, max_distance=max_dist, mask_q=mask_q, mask_c=mask_c, unique=True
     )
+
+
+@jax.jit
+def _match_combined_batch(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy, max_dist):
+    """`_match_combined` vmapped over a chunk's keyframes: (m, Q, .) queries
+    against (m, M, .) per-keyframe candidate sets in ONE device program —
+    one tunnel round trip for the whole chunk instead of one per keyframe."""
+
+    def one(dq, uq, mq, dc, pc, mc):
+        res = _match_combined(dq, uq, mq, dc, pc, mc, fx, fy, cx, cy, max_dist)
+        return res.idx, res.valid
+
+    return jax.vmap(one)(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c)
 
 
 def _cam_floats(cam) -> tuple:
@@ -160,36 +174,21 @@ class FeatureTracking:
                 groups.append((f, idxs))
         return groups
 
-    def track(self, cur: HostFrame, slam_map: Map) -> List[Landmark]:
-        """Full per-keyframe tracking; returns newly created landmarks.
-
-        Extraction is skipped when the caller already populated the feature
-        fields (the chunk backend extracts ALL of a chunk's keyframes in one
-        batched device program, `sequential_mapping._light_detect_batch`)."""
-        if cur.keypoints is None:
-            self.extract(cur)
-        refs = [f for f in slam_map.keyframes() if f is not cur]
-        if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
-            return []
-        cam_f = _cam_floats(cur.frame.cameras[0])
-        groups = self.select_candidates(cur, refs, slam_map, cam_f)
+    def _candidate_arrays(self, cur, groups, slam_map: Map, cam_f, M: int):
+        """Padded candidate arrays for the device matcher: descriptors
+        (M, 32) u8, points-in-current-camera (M, 3) f32, mask (M,), plus the
+        flat (frame, idx) mapping for the association write-back. Built with
+        one vectorized block per reference frame (no per-candidate Python
+        loop); p3d in the CURRENT camera frame for the reprojection distance
+        (Matcher.cpp:73-90 via world)."""
         n_cand = sum(len(idxs) for _, idxs in groups)
-        if n_cand == 0:
-            return []
-
-        # build padded candidate arrays with one vectorized block per
-        # reference frame (no per-candidate Python loop); p3d in the CURRENT
-        # camera frame for the reprojection distance (Matcher.cpp:73-90 via
-        # world). cand keeps the flat (frame, idx) mapping for the
-        # association write-back after the match.
-        M = _bucket(n_cand)
         desc_c = np.zeros((M, desc_mod.N_BYTES), np.uint8)
         p3d_c = np.zeros((M, 3), np.float32)
         mask_c = np.zeros(M, bool)
         mask_c[:n_cand] = True
         cand: List = []
         R_cur, t_cur = cur.pose[:3, :3], cur.pose[:3, 3]
-        fx, fy, cx, cy = cam_f  # same rig, fetched once above
+        fx, fy, cx, cy = cam_f
         j0 = 0
         for f, idxs in groups:
             n = len(idxs)
@@ -212,33 +211,30 @@ class FeatureTracking:
             )
             j0 += n
             cand.extend((f, int(i)) for i in idxs)
+        return desc_c, p3d_c, mask_c, cand
 
-        # pad the QUERY side to the same power-of-two buckets as the
-        # candidate side: the raw keypoint count differs almost every
-        # keyframe, and an unpadded query shape would recompile the matcher
-        # per keyframe (ruinous with remote compiles)
+    def _query_arrays(self, cur, Q: int):
+        """Query-side arrays padded to a power-of-two bucket: the raw
+        keypoint count differs almost every keyframe, and an unpadded query
+        shape would recompile the matcher per keyframe (ruinous with remote
+        compiles)."""
         nq = len(cur.keypoints)
-        Q = _bucket(nq)
         desc_q = np.zeros((Q, desc_mod.N_BYTES), np.uint8)
         desc_q[:nq] = cur.descriptors
         uv_q = np.zeros((Q, 2), np.float32)
         uv_q[:nq] = cur.keypoints
         mask_q = np.zeros(Q, bool)
         mask_q[:nq] = True
-        cam = cur.frame.cameras[0]
-        res = _match_combined(
-            jnp.asarray(desc_q),
-            jnp.asarray(uv_q),
-            jnp.asarray(mask_q),
-            jnp.asarray(desc_c),
-            jnp.asarray(p3d_c),
-            jnp.asarray(mask_c),
-            cam.fx, cam.fy, cam.cx, cam.cy,
-            jnp.float32(self.max_match_distance),
-        )
-        idx, ok = jax.device_get((res.idx, res.valid))
-        idx, ok = idx[:nq], ok[:nq]
+        return desc_q, uv_q, mask_q
 
+    def _bookkeep(
+        self, cur, idx, ok, cand, cam_f, slam_map: Map
+    ) -> List[Landmark]:
+        """Association write-back after a match: extend matched landmarks or
+        triangulate new ones from the current frame's depth
+        (FeatureTracking.cpp:144-176). `idx`/`ok` are trimmed to the real
+        query count by the caller."""
+        fx, fy, cx, cy = cam_f
         # vectorized triangulation of ALL current keypoints with depth (the
         # per-landmark world point); the loop below only does the dict
         # bookkeeping for matched ones
@@ -270,4 +266,135 @@ class FeatureTracking:
                 cur.kp_landmark[qi] = lm.id
                 f_ref.kp_landmark[ri] = lm.id
                 new_points.append(lm)
+        return new_points
+
+    def track(self, cur: HostFrame, slam_map: Map) -> List[Landmark]:
+        """Full per-keyframe tracking; returns newly created landmarks.
+
+        Extraction is skipped when the caller already populated the feature
+        fields (the chunk backend extracts ALL of a chunk's keyframes in one
+        batched device program, `sequential_mapping._light_detect_batch`)."""
+        if cur.keypoints is None:
+            self.extract(cur)
+        refs = [f for f in slam_map.keyframes() if f is not cur]
+        if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
+            return []
+        cam_f = _cam_floats(cur.frame.cameras[0])
+        groups = self.select_candidates(cur, refs, slam_map, cam_f)
+        n_cand = sum(len(idxs) for _, idxs in groups)
+        if n_cand == 0:
+            return []
+
+        desc_c, p3d_c, mask_c, cand = self._candidate_arrays(
+            cur, groups, slam_map, cam_f, _bucket(n_cand)
+        )
+        nq = len(cur.keypoints)
+        desc_q, uv_q, mask_q = self._query_arrays(cur, _bucket(nq))
+        cam = cur.frame.cameras[0]
+        with timer.scope("track.match"):
+            res = _match_combined(
+                jnp.asarray(desc_q),
+                jnp.asarray(uv_q),
+                jnp.asarray(mask_q),
+                jnp.asarray(desc_c),
+                jnp.asarray(p3d_c),
+                jnp.asarray(mask_c),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                jnp.float32(self.max_match_distance),
+            )
+            idx, ok = jax.device_get((res.idx, res.valid))
+        return self._bookkeep(cur, idx[:nq], ok[:nq], cand, cam_f, slam_map)
+
+    def track_batch(
+        self, curs: List[HostFrame], slam_map: Map
+    ) -> List[Landmark]:
+        """Track a CHUNK of new keyframes with ONE device round trip.
+
+        The per-keyframe `track()` pays one dispatch + one blocking fetch per
+        keyframe; over a remote-attached chip those round trips are the
+        mapping backend's scaling cost (they grow with keyframes, not
+        chunks). This batches every keyframe's match into one vmapped device
+        program (`_match_combined_batch`).
+
+        Semantics vs the sequential path: candidate selection for keyframe i
+        uses the map state at CHUNK START plus the raw (still unassociated)
+        features of the chunk's earlier keyframes; associations made during
+        the chunk resolve TRANSITIVELY at bookkeeping time — a match to an
+        earlier in-chunk feature adopts whatever landmark that feature ended
+        up with, exactly like the sequential write-back (`_bookkeep` reads
+        `kp_landmark` at resolution time). The one divergence: a window
+        landmark re-observed by keyframe i-1 is deduped by the sequential
+        path from keyframe i's candidates (first-occurrence rule), while
+        here keyframe i still sees keyframe i-1's raw feature alongside the
+        window landmark — the ratio test sees both copies of the same
+        physical point. Parity on the SLAM gates is pinned by
+        tests/test_sequential.py.
+
+        Call BEFORE inserting `curs` into the map: the per-keyframe
+        reference set is reconstructed as (earlier in-chunk keyframes,
+        newest first) + (pre-chunk window), trimmed to the map's sliding
+        window — exactly the refs each keyframe would have seen had it been
+        inserted and tracked in sequence."""
+        curs = [
+            c for c in curs if c.keypoints is not None and len(c.keypoints) > 0
+        ]
+        if not curs:
+            return []
+        cam_f = _cam_floats(curs[0].frame.cameras[0])
+        in_chunk = {id(c) for c in curs}
+        refs_w = [f for f in slam_map.keyframes() if id(f) not in in_chunk]
+        window = slam_map.max_keyframes
+
+        per_kf = []
+        for i, cur in enumerate(curs):
+            refs = (list(reversed(curs[:i])) + refs_w)[: max(window - 1, 1)]
+            groups = self.select_candidates(cur, refs, slam_map, cam_f)
+            per_kf.append((cur, groups, sum(len(x) for _, x in groups)))
+
+        live = [(c, g, n) for c, g, n in per_kf if n > 0]
+        if not live:
+            return []
+        M = _bucket(max(n for _, _, n in live))
+        Q = _bucket(max(len(c.keypoints) for c, _, _ in live))
+        # batch axis padded to a power of two as well (keyframe count varies
+        # chunk to chunk); dead rows carry all-false masks
+        B = _bucket(len(live), minimum=2)
+        desc_c = np.zeros((B, M, desc_mod.N_BYTES), np.uint8)
+        p3d_c = np.zeros((B, M, 3), np.float32)
+        mask_c = np.zeros((B, M), bool)
+        desc_q = np.zeros((B, Q, desc_mod.N_BYTES), np.uint8)
+        uv_q = np.zeros((B, Q, 2), np.float32)
+        mask_q = np.zeros((B, Q), bool)
+        cands: List[List] = []
+        for bi, (cur, groups, _n) in enumerate(live):
+            dc, pc, mc, cand = self._candidate_arrays(cur, groups, slam_map, cam_f, M)
+            desc_c[bi], p3d_c[bi], mask_c[bi] = dc, pc, mc
+            dq, uq, mq = self._query_arrays(cur, Q)
+            desc_q[bi], uv_q[bi], mask_q[bi] = dq, uq, mq
+            cands.append(cand)
+
+        cam = live[0][0].frame.cameras[0]
+        with timer.scope("track.match"):
+            idx, ok = jax.device_get(
+                _match_combined_batch(
+                    jnp.asarray(desc_q),
+                    jnp.asarray(uv_q),
+                    jnp.asarray(mask_q),
+                    jnp.asarray(desc_c),
+                    jnp.asarray(p3d_c),
+                    jnp.asarray(mask_c),
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    jnp.float32(self.max_match_distance),
+                )
+            )
+        new_points: List[Landmark] = []
+        for bi, (cur, _groups, _n) in enumerate(live):
+            nq = len(cur.keypoints)
+            pts = self._bookkeep(
+                cur, idx[bi][:nq], ok[bi][:nq], cands[bi], cam_f, slam_map
+            )
+            # in-chunk landmarks become resolvable for LATER keyframes'
+            # transitive association (position lookups in _bookkeep)
+            slam_map.insert_points(pts)
+            new_points.extend(pts)
         return new_points

@@ -89,6 +89,10 @@ class Map:
         ok = inb & np.isfinite(pos[:, 0])
         return pos, ok
 
+    @property
+    def max_keyframes(self) -> int:
+        return self._keyframes.maxlen or 7
+
     def insert(self, frame: HostFrame, is_keyframe: bool = False):
         self._frames.appendleft(frame)
         if is_keyframe:

@@ -36,6 +36,7 @@ from ..core.camera import Camera
 from ..core.frame import create_frame
 from ..core.se3 import SE3
 from ..kalman import ekf_se3
+from ..utils import timer
 
 __all__ = ["SequentialConfig", "SequentialState", "init_state", "scan_odometry", "SequentialOdometry"]
 
@@ -401,7 +402,8 @@ class SequentialOdometry:
         """Apply the pending async backend correction, if any. Returns the
         folded delta (callers re-base already-solved poses with it)."""
         if self._backend_future is not None:
-            delta = self._backend_future.result()
+            with timer.scope("seq.drain_backend"):
+                delta = self._backend_future.result()
             self._backend_future = None
             if delta is not None:
                 self._apply_correction(delta)
@@ -409,6 +411,10 @@ class SequentialOdometry:
         return None
 
     def _dispatch(self, buf):
+        with timer.scope("seq.dispatch"):
+            return self._dispatch_inner(buf)
+
+    def _dispatch_inner(self, buf):
         K = self.chunk
         n = len(buf)
         H, W = buf[0][1].shape
@@ -448,7 +454,8 @@ class SequentialOdometry:
     def _collect(self, stamps, n, poses, cov, is_kf):
         """Blocking fetch of a dispatched chunk's results (f64 conversion +
         SVD re-orthonormalization on host)."""
-        R, t, covs, kf = jax.device_get((poses.R, poses.t, cov, is_kf))  # ONE fetch
+        with timer.scope("seq.collect"):
+            R, t, covs, kf = jax.device_get((poses.R, poses.t, cov, is_kf))  # ONE fetch
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
         covs = np.asarray(covs, np.float64)

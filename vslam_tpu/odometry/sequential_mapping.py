@@ -26,6 +26,7 @@ import numpy as np
 from ..core import lie_np, se3
 from ..core.camera import Camera
 from ..core.frame import Frame
+from ..utils import timer
 from ..utils.log import get_logger
 from .map import HostFrame, Map
 
@@ -126,6 +127,7 @@ class ChunkMappingBackend:
         pose_write_back: str = "gated",  # "gated" | "always" | "off"
         min_correction: float = 1e-3,
         ba_schedule: str = "chunk",  # "chunk" | "keyframe"
+        track_schedule: str = "chunk",  # "chunk" | "keyframe"
     ):
         from ..features.tracking import FeatureTracking
 
@@ -159,6 +161,16 @@ class ChunkMappingBackend:
         if ba_schedule not in ("chunk", "keyframe"):
             raise ValueError(f"unknown ba_schedule {ba_schedule!r}")
         self.ba_schedule = ba_schedule
+        # track_schedule: "chunk" matches ALL of a chunk's keyframes in one
+        # vmapped device program (one tunnel round trip instead of one per
+        # keyframe — FeatureTracking.track_batch, with transitive landmark
+        # resolution); "keyframe" is the reference's strictly sequential
+        # per-keyframe cadence (FeatureTracking.cpp:71-203). Per-keyframe BA
+        # (ba_schedule="keyframe") forces the sequential cadence — its BA
+        # solves interleave between keyframes.
+        if track_schedule not in ("chunk", "keyframe"):
+            raise ValueError(f"unknown track_schedule {track_schedule!r}")
+        self.track_schedule = track_schedule
         self.pose_write_back = pose_write_back
         self.min_correction = float(min_correction)
         self.map = Map()
@@ -199,6 +211,24 @@ class ChunkMappingBackend:
 
         return drift_significant(self._ba, est_pose, corrected, self.min_correction)
 
+    def _detect_batch(self, kf_js, device_images, camera, cfg):
+        """One device round trip for every keyframe's feature extraction
+        (see `_light_detect_batch`); light planes stay on device as lazy
+        slices of the batch output."""
+        idxs = jnp.asarray(np.asarray(kf_js, np.int32))
+        out = _light_detect_batch(
+            device_images[0][idxs],
+            device_images[1][idxs],
+            camera.fx,
+            depth_scale=float(cfg.depth_scale),
+            stereo_baseline=float(cfg.stereo_baseline),
+            max_disparity=int(getattr(cfg, "stereo_max_disparity", 96)),
+            threshold=float(self._tracking.fast_threshold),
+            cell=int(self._tracking.grid_cell),
+        )
+        feats = jax.device_get(out[2:])  # uv, resp, keep, desc, z
+        return (out[0], out[1], jnp.zeros_like(out[0][0]), feats)
+
     def process_chunk(
         self,
         buf: List,  # [(t_ns, intensity, depth)] raw stream items of the chunk
@@ -233,25 +263,15 @@ class ChunkMappingBackend:
         batch = None
         if device_images is not None:
             try:
-                idxs = jnp.asarray(np.asarray(kf_js, np.int32))
-                out = _light_detect_batch(
-                    device_images[0][idxs],
-                    device_images[1][idxs],
-                    camera.fx,
-                    depth_scale=float(cfg.depth_scale),
-                    stereo_baseline=float(cfg.stereo_baseline),
-                    max_disparity=int(getattr(cfg, "stereo_max_disparity", 96)),
-                    threshold=float(self._tracking.fast_threshold),
-                    cell=int(self._tracking.grid_cell),
-                )
-                feats = jax.device_get(out[2:])  # uv, resp, keep, desc, z
-                batch = (out[0], out[1], jnp.zeros_like(out[0][0]), feats)
+                with timer.scope("map.detect_batch"):
+                    batch = self._detect_batch(kf_js, device_images, camera, cfg)
             except Exception as exc:
                 self._log.warning("batched keyframe extraction failed: %s", exc)
                 batch = None
 
-        last_frame: Optional[HostFrame] = None
-        last_est: Optional[np.ndarray] = None
+        # build every keyframe's HostFrame first (features from the batched
+        # extraction when available, per-keyframe fallback otherwise)
+        frames: List[Tuple[HostFrame, np.ndarray]] = []
         for bi, j in enumerate(kf_js):
             t_ns, intensity, depth = buf[j]
             est_pose = np.asarray(poses[j], np.float64)
@@ -279,14 +299,40 @@ class ChunkMappingBackend:
                 frame = HostFrame(
                     frame=dev, t_ns=int(t_ns), pose=est_pose, cov=np.asarray(covs[j])
                 )
+            frames.append((frame, est_pose))
+
+        # chunk-batched matching (one device round trip for all keyframes)
+        # needs (a) batch-extracted features and (b) no per-keyframe BA
+        # interleave; otherwise run the reference's sequential cadence
+        batch_track = (
+            batch is not None
+            and self.track_schedule == "chunk"
+            and self.ba_schedule != "keyframe"
+        )
+        if batch_track:
+            try:
+                with timer.scope("map.track"):
+                    # BEFORE insertion: track_batch reconstructs each
+                    # keyframe's window refs itself (see its docstring) and
+                    # inserts the new landmarks into the map
+                    self._tracking.track_batch([f for f, _ in frames], self.map)
+            except Exception as exc:
+                self._log.warning("chunk-batched tracking failed: %s", exc)
+                batch_track = False
+
+        last_frame: Optional[HostFrame] = None
+        last_est: Optional[np.ndarray] = None
+        for frame, est_pose in frames:
             self.map.insert(frame, True)
             last_frame, last_est = frame, est_pose
             try:
-                new_points = self._tracking.track(frame, self.map)
-                self.map.insert_points(new_points)
-                if self.ba_schedule == "keyframe":
-                    d = self._run_ba(frame, est_pose)
-                    delta = d if d is not None else delta
+                if not batch_track:
+                    with timer.scope("map.track"):
+                        new_points = self._tracking.track(frame, self.map)
+                    self.map.insert_points(new_points)
+                    if self.ba_schedule == "keyframe":
+                        d = self._run_ba(frame, est_pose)
+                        delta = d if d is not None else delta
                 if self._graph is not None:
                     self._graph.add_keyframe(frame)
                     corrections = self._graph.try_close(frame)
@@ -319,7 +365,8 @@ class ChunkMappingBackend:
         if self._ba is None or len(self.map.keyframes()) < 2:
             return None
         delta: Optional[np.ndarray] = None
-        ba_poses, points, err0, err1 = self._ba.optimize(self.map)
+        with timer.scope("map.ba"):
+            ba_poses, points, err0, err1 = self._ba.optimize(self.map)
         if err1 < err0 and self._ba_sane(ba_poses):
             self.map.update_points(points)
             corrected = ba_poses[frame.id]
