@@ -193,14 +193,15 @@ def test_async_backend_rebase_on_correction():
     landmark map a second time and the write-back gate re-applies it
     (overshoot, then oscillation).
 
-    The pipelined schedule's deterministic contract: a correction measured
-    on chunk k is drained at chunk k+1's retire — which runs after chunk
-    k+2's dispatch — so it folds into the live chain before chunk k+3's
-    dispatch, and every chunk solved in between is re-based via the
-    cumulative-correction bookkeeping (SequentialOdometry._C_total). The
-    stub backend returns a fixed world-frame delta for the first chunk and
+    The pipelined schedule's deterministic contract (backend_depth=2): a
+    correction measured on chunk k folds into the device chain at chunk
+    (k+2)'s retire — which runs after chunk (k+3)'s dispatch — so the first
+    chunk solved FROM the corrected chain is k+4, and every chunk solved in
+    between is re-based by the WORKER's own cumulative-correction
+    bookkeeping (SequentialOdometry._worker_job / _C_worker). The stub
+    backend returns a fixed world-frame delta for the first chunk and
     records every pose list it is handed."""
-    N = 17  # seed + 4 full chunks of 4: c1=1-4, c2=5-8, c3=9-12, c4=13-16
+    N = 21  # seed + 5 full chunks of 4: c1=1-4 ... c5=17-20
     K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
     traj = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
     frames = [synthetic.render(K, p, (H, W)) for p in traj]
@@ -224,24 +225,22 @@ def test_async_backend_rebase_on_correction():
     )
     results = odo.run((i * DT_NS, f[0], f[1]) for i, f in enumerate(frames))
     assert len(results) == N
-    assert len(backend.calls) == 5
-    # chunks 2 and 3 were both solved before chunk 1's delta folded into the
-    # device chain (c2 dispatched before the job even ran; c3 dispatched in
-    # the same _advance whose retire drains it); the backend must see BOTH
-    # in the corrected frame
+    assert len(backend.calls) == 6
+    # chunks 2, 3 and 4 were all solved before chunk 1's delta folded into
+    # the device chain (the fold happens at chunk 3's retire, after chunk
+    # 4's dispatch); the backend must see ALL of them in the corrected frame
     raw = [np.asarray(T) for _, T, _ in results]
-    for handed, raw_T in zip(backend.calls[2], raw[5:9]):
-        np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
-    for handed, raw_T in zip(backend.calls[3], raw[9:13]):
-        np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
+    for call, lo in ((2, 5), (3, 9), (4, 13)):
+        for handed, raw_T in zip(backend.calls[call], raw[lo : lo + 4]):
+            np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
     # ...while the chunk AFTER the fold continues from the corrected chain
-    # directly: frame 13 tracks from a state that already contains delta, so
+    # directly: frame 17 tracks from a state that already contains delta, so
     # its pose must carry the correction (and the backend is handed its
     # poses UN-re-based — the chain already includes delta)
-    jump = np.asarray(results[13][1])
-    drift = np.linalg.norm((jump @ lie_np.inv(raw[12]))[:3, 3])
+    jump = np.asarray(results[17][1])
+    drift = np.linalg.norm((jump @ lie_np.inv(raw[16]))[:3, 3])
     assert drift > 0.3, "the fold never reached the device chain"
-    for handed, raw_T in zip(backend.calls[4], raw[13:17]):
+    for handed, raw_T in zip(backend.calls[5], raw[17:21]):
         np.testing.assert_allclose(handed, raw_T, atol=1e-12)
 
 

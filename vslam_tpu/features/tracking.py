@@ -61,16 +61,24 @@ def _match_combined(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy,
 
 
 @jax.jit
-def _match_combined_batch(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c, fx, fy, cx, cy, max_dist):
-    """`_match_combined` vmapped over a chunk's keyframes: (m, Q, .) queries
-    against (m, M, .) per-keyframe candidate sets in ONE device program —
-    one tunnel round trip for the whole chunk instead of one per keyframe."""
+def _match_pool_batch(desc_q, uv_q, mask_q, desc_pool, p3d, mask_c, fx, fy, cx, cy, max_dist):
+    """One chunk-wide match program over a SHARED candidate pool: (B, Q, .)
+    queries against one (P, 32) packed descriptor pool — the pool's bytes
+    cross the link ONCE, per-query candidate subsets are boolean masks
+    (B, P), and the pool's points arrive pre-transformed into each query's
+    camera frame ((B, P, 3)). One tunnel round trip for the whole chunk
+    instead of one per keyframe."""
+    dc = desc_mod.unpack_bits(desc_pool)  # (P, 256) shared across queries
 
-    def one(dq, uq, mq, dc, pc, mc):
-        res = _match_combined(dq, uq, mq, dc, pc, mc, fx, fy, cx, cy, max_dist)
+    def one(dq, uq, mq, pc, mc):
+        d = match_mod.descriptor_l1_matrix(desc_mod.unpack_bits(dq), dc)
+        r = match_mod.reprojection_error_matrix(pc, uq, fx, fy, cx, cy)
+        res = match_mod.ratio_match(
+            d + r, max_distance=max_dist, mask_q=mq, mask_c=mc, unique=True
+        )
         return res.idx, res.valid
 
-    return jax.vmap(one)(desc_q, uv_q, mask_q, desc_c, p3d_c, mask_c)
+    return jax.vmap(one)(desc_q, uv_q, mask_q, p3d, mask_c)
 
 
 def _cam_floats(cam) -> tuple:
@@ -314,7 +322,15 @@ class FeatureTracking:
         keyframe; over a remote-attached chip those round trips are the
         mapping backend's scaling cost (they grow with keyframes, not
         chunks). This batches every keyframe's match into one vmapped device
-        program (`_match_combined_batch`).
+        program over a SHARED candidate pool (`_match_pool_batch`): the
+        world-space geometry of every possible candidate feature is
+        query-independent (the map does not change until bookkeeping), so it
+        is resolved ONCE per chunk; per-query work is one (P, 3) pose
+        transform plus boolean dedup/visibility masks — the per-(query, ref)
+        rebuild the sequential path pays m x refs times per chunk collapses
+        to one pool pass. That host-side saving matters as much as the round
+        trips: the backend worker shares one host core with the scan
+        driver's staging thread.
 
         Semantics vs the sequential path: candidate selection for keyframe i
         uses the map state at CHUNK START plus the raw (still unassociated)
@@ -341,57 +357,129 @@ class FeatureTracking:
         if not curs:
             return []
         cam_f = _cam_floats(curs[0].frame.cameras[0])
+        fx, fy, cx, cy = cam_f
         in_chunk = {id(c) for c in curs}
         refs_w = [f for f in slam_map.keyframes() if id(f) not in in_chunk]
         window = slam_map.max_keyframes
 
-        per_kf = []
-        for i, cur in enumerate(curs):
-            refs = (list(reversed(curs[:i])) + refs_w)[: max(window - 1, 1)]
-            groups = self.select_candidates(cur, refs, slam_map, cam_f)
-            per_kf.append((cur, groups, sum(len(x) for _, x in groups)))
-
-        live = [(c, g, n) for c, g, n in per_kf if n > 0]
-        if not live:
+        # ---- shared candidate pool (one pass over every possible ref) ----
+        # segments in "most recent first" order: in-chunk refs (newest
+        # first; the last keyframe is never a reference) then the pre-chunk
+        # window — so a segment's rank equals its position in any query's
+        # reference list
+        pool_refs = [
+            f
+            for f in list(reversed(curs[:-1])) + refs_w
+            if f.keypoints is not None and len(f.keypoints) > 0
+        ]
+        if not pool_refs:
             return []
-        M = _bucket(max(n for _, _, n in live))
-        Q = _bucket(max(len(c.keypoints) for c, _, _ in live))
+        seg_rank: List[np.ndarray] = []  # per-entry rank (= ref recency)
+        desc_pool_l, pw_l, pid_l, usable_l = [], [], [], []
+        cand: List = []
+        for r, f in enumerate(pool_refs):
+            pids = np.asarray(f.kp_landmark, np.int64)
+            pos_lm, ok_lm = slam_map.positions_lookup(pids)
+            z = np.asarray(f.kp_depth, np.float64)
+            uv = np.asarray(f.keypoints, np.float64)
+            x = (uv[:, 0] - cx) / fx * z
+            y = (uv[:, 1] - cy) / fy * z
+            Tinv = lie_np.inv(f.pose)
+            p_w_depth = np.stack([x, y, z], 1) @ Tinv[:3, :3].T + Tinv[:3, 3]
+            # associated features sit AT their landmark; the rest at their
+            # depth back-projection (z <= 0 -> no geometry, matcher skips
+            # the reprojection term via the z = -1 marker downstream)
+            pw_l.append(np.where(ok_lm[:, None], pos_lm, p_w_depth))
+            usable_l.append(ok_lm | (z > 0))
+            pid_l.append(np.where(ok_lm, pids, -1))
+            desc_pool_l.append(f.descriptors)
+            n = len(pids)
+            seg_rank.append(np.full(n, r))
+            cand.extend((f, int(i)) for i in range(n))
+        pw = np.concatenate(pw_l)  # (n_pool, 3) world
+        pids_pool = np.concatenate(pid_l)
+        usable = np.concatenate(usable_l)
+        rank = np.concatenate(seg_rank)
+        n_pool = len(pw)
+        P = _bucket(n_pool)
+        Q = _bucket(max(len(c.keypoints) for c in curs))
         # batch axis padded to a power of two as well (keyframe count varies
         # chunk to chunk); dead rows carry all-false masks
-        B = _bucket(len(live), minimum=2)
-        desc_c = np.zeros((B, M, desc_mod.N_BYTES), np.uint8)
-        p3d_c = np.zeros((B, M, 3), np.float32)
-        mask_c = np.zeros((B, M), bool)
+        B = _bucket(len(curs), minimum=2)
+        desc_pool = np.zeros((P, desc_mod.N_BYTES), np.uint8)
+        desc_pool[:n_pool] = np.concatenate(desc_pool_l)
+
+        # ---- per-query masks + camera-frame points ----
+        # one batched pose transform for ALL queries x pool entries
+        R_all = np.stack([c.pose[:3, :3] for c in curs])  # (m, 3, 3)
+        t_all = np.stack([c.pose[:3, 3] for c in curs])  # (m, 3)
+        p_c = np.einsum("mij,pj->mpi", R_all, pw) + t_all[:, None, :]
+        p3d = np.full((B, P, 3), -1.0, np.float32)
+        p3d[: len(curs), :n_pool] = np.where(
+            usable[None, :, None], p_c, np.array([0.0, 0.0, -1.0])
+        )
+        # visibility of landmark-backed candidates in each query view
+        # (FeatureTracking.cpp:178-203 select semantics)
+        W_img, H_img = curs[0].frame.width(0), curs[0].frame.height(0)
+        b = self.border
+        zq = p_c[:, :, 2]
+        zs = np.where(zq > 0, zq, 1.0)
+        u = fx * p_c[:, :, 0] / zs + cx
+        v = fy * p_c[:, :, 1] / zs + cy
+        vis = (zq > 0) & (b < u) & (u < W_img - b) & (b < v) & (v < H_img - b)
+
+        assoc = pids_pool >= 0
+        # first occurrence of each landmark in recency order: sort pool
+        # entries by (rank, index) once; unique() then picks the most recent
+        # ref's copy (the sequential path's `seen` rule)
+        order = np.arange(n_pool)  # already rank-major, index-minor
+        mask_c = np.zeros((B, P), bool)
         desc_q = np.zeros((B, Q, desc_mod.N_BYTES), np.uint8)
         uv_q = np.zeros((B, Q, 2), np.float32)
         mask_q = np.zeros((B, Q), bool)
-        cands: List[List] = []
-        for bi, (cur, groups, _n) in enumerate(live):
-            dc, pc, mc, cand = self._candidate_arrays(cur, groups, slam_map, cam_f, M)
-            desc_c[bi], p3d_c[bi], mask_c[bi] = dc, pc, mc
+        m_chunk = len(curs)
+        max_refs = max(window - 1, 1)
+        for i, cur in enumerate(curs):
+            # query i's references in recency order are pool ranks
+            # [m-1-i, m-i, ...]: in-chunk refs curs[i-1]..curs[0] sit at
+            # ranks m-1-i..m-2 (pool_refs lists in-chunk newest first,
+            # excluding the final keyframe), the pre-chunk window follows at
+            # m-1... — a CONTIGUOUS rank range, trimmed to the sliding
+            # window exactly like the sequential cadence's ref list
+            lo = m_chunk - 1 - i
+            in_refs = (rank >= lo) & (rank < lo + max_refs)
+            m_un = in_refs & ~assoc
+            sel = in_refs & assoc & usable & vis[i]
+            m_assoc = np.zeros(n_pool, bool)
+            if sel.any():
+                cand_idx = order[sel]
+                _, first = np.unique(pids_pool[cand_idx], return_index=True)
+                m_assoc[cand_idx[first]] = True
+            mask_c[i, :n_pool] = m_un | m_assoc
             dq, uq, mq = self._query_arrays(cur, Q)
-            desc_q[bi], uv_q[bi], mask_q[bi] = dq, uq, mq
-            cands.append(cand)
+            desc_q[i], uv_q[i], mask_q[i] = dq, uq, mq
 
-        cam = live[0][0].frame.cameras[0]
+        if not mask_c.any():
+            return []
+        cam = curs[0].frame.cameras[0]
         with timer.scope("track.match"):
             idx, ok = jax.device_get(
-                _match_combined_batch(
+                _match_pool_batch(
                     jnp.asarray(desc_q),
                     jnp.asarray(uv_q),
                     jnp.asarray(mask_q),
-                    jnp.asarray(desc_c),
-                    jnp.asarray(p3d_c),
+                    jnp.asarray(desc_pool),
+                    jnp.asarray(p3d),
                     jnp.asarray(mask_c),
                     cam.fx, cam.fy, cam.cx, cam.cy,
                     jnp.float32(self.max_match_distance),
                 )
             )
         new_points: List[Landmark] = []
-        for bi, (cur, _groups, _n) in enumerate(live):
+        for i, cur in enumerate(curs):
             nq = len(cur.keypoints)
             pts = self._bookkeep(
-                cur, idx[bi][:nq], ok[bi][:nq], cands[bi], cam_f, slam_map
+                cur, idx[i][:nq], ok[i][:nq], cand, cam_f, slam_map
             )
             # in-chunk landmarks become resolvable for LATER keyframes'
             # transitive association (position lookups in _bookkeep)

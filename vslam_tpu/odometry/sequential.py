@@ -248,6 +248,7 @@ class SequentialOdometry:
         chunk: int = 16,
         mapping=None,  # optional sequential_mapping.ChunkMappingBackend
         async_mapping: bool = True,
+        backend_depth: int = 2,
     ):
         self.camera = camera
         self.cfg = cfg
@@ -262,7 +263,22 @@ class SequentialOdometry:
         # ROS executor thread while the alignment node keeps consuming
         # frames (NodeMapping/NodeRgbdAlignment are separate nodes).
         self.async_mapping = bool(async_mapping) and mapping is not None
-        self._backend_future = None
+        # backend_depth: max backend jobs in flight after each retire. Depth
+        # 1 drains the previous chunk's job before submitting the next (the
+        # worker gets ONE chunk period); depth 2 (default) gives it two —
+        # measured on chip, the depth-1 drain stalls the scan driver ~170 ms
+        # per chunk because the worker's device programs queue behind the
+        # next scan on the in-order device. Corrections stay deterministic
+        # (they fold at fixed retire points, one chunk later than depth 1)
+        # and exact: the worker re-bases each chunk's poses itself
+        # (`_worker_job`), so BA never re-measures drift that is still in
+        # flight toward the device chain.
+        self.backend_depth = max(1, int(backend_depth))
+        self._backend_futures: List = []
+        # cumulative correction as seen by the WORKER (all deltas its jobs
+        # have returned, whether or not they reached the device chain yet);
+        # only the worker thread reads/writes it after run() starts
+        self._C_worker: np.ndarray = np.eye(4)
         self._executor = None
         if self.async_mapping:
             import concurrent.futures
@@ -306,14 +322,14 @@ class SequentialOdometry:
         trips overlap the NEXT scan's solve (draining the worker before a
         dispatch would idle the device exactly while the backend sits in
         latency-bound fetches — measured 19 -> ~30 fps on a remote chip).
-        The deterministic contract: a correction measured on chunk k folds
-        into the device chain before chunk k+3's dispatch, and the
-        cumulative-correction bookkeeping (`_C_total`) re-bases each chunk's
-        poses into the backend's map frame no matter how many corrections
-        landed while it was in flight. Synchronous mapping
-        (`async_mapping=False`) trades the pipelining away so every
-        correction reaches the device state before the next chunk runs —
-        the reference-cadence parity mode."""
+        The deterministic contract: with `backend_depth` jobs in flight, a
+        correction measured on chunk k folds into the device chain at chunk
+        (k + backend_depth)'s retire — a fixed point — and the worker
+        re-bases each chunk's poses into the backend's map frame
+        (`_worker_job`) no matter how many corrections are still in flight.
+        Synchronous mapping (`async_mapping=False`) trades the pipelining
+        away so every correction reaches the device state before the next
+        chunk runs — the reference-cadence parity mode."""
         out: List[Tuple[int, np.ndarray, np.ndarray]] = []
         buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
         pending = None
@@ -358,6 +374,7 @@ class SequentialOdometry:
             list(buf),
             self._last_staged if self.mapping is not None else None,
             self._C_total.copy(),
+            self._last_detect if self.mapping is not None else None,
         )
         if pending is not None:
             self._retire(pending, out)
@@ -368,7 +385,7 @@ class SequentialOdometry:
         (odometry estimates — the reference's NodeMapping also writes
         per-frame odometry poses; corrections shape FUTURE tracking via the
         device state), and hand the chunk to the mapping backend."""
-        nxt, buf, staged, C_dispatch = rec
+        nxt, buf, staged, C_dispatch, detect_out = rec
         results = self._collect(*nxt)
         out.extend(results)
         if self.mapping is None:
@@ -377,38 +394,57 @@ class SequentialOdometry:
         est_poses = [r[1] for r in results]
         covs = [r[2] for r in results]
         kwargs = {"device_images": staged}
+        if detect_out is not None:
+            kwargs["detect_out"] = detect_out
+        args = (buf, est_poses, covs, kf_flags, self.camera, self.cfg)
         if self.async_mapping:
-            # Corrections that landed AFTER this chunk was dispatched are
-            # missing from its solved poses; the backend must see them in
-            # its own (corrected) map frame or BA re-measures drift that was
-            # already folded (overshoot, then oscillation). Drain the
-            # worker's pending correction first so _C_total is current.
-            self._drain_backend()
-            rebase = self._C_total @ np.linalg.inv(C_dispatch)
-            if not np.allclose(rebase, np.eye(4), atol=1e-12):
-                est_poses = [rebase @ p for p in est_poses]
-            args = (buf, est_poses, covs, kf_flags, self.camera, self.cfg)
-            self._backend_future = self._executor.submit(
-                self.mapping.process_chunk, *args, **kwargs
+            self._backend_futures.append(
+                self._executor.submit(self._worker_job, args, kwargs, C_dispatch)
             )
+            # bounded, DETERMINISTIC lag: block on the oldest job only once
+            # more than backend_depth are outstanding, so every correction
+            # folds at a fixed retire point
+            while len(self._backend_futures) > self.backend_depth:
+                self._drain_oldest()
         else:
-            args = (buf, est_poses, covs, kf_flags, self.camera, self.cfg)
             delta = self.mapping.process_chunk(*args, **kwargs)
             if delta is not None:
                 self._apply_correction(delta)
         return
 
-    def _drain_backend(self) -> Optional[np.ndarray]:
-        """Apply the pending async backend correction, if any. Returns the
-        folded delta (callers re-base already-solved poses with it)."""
-        if self._backend_future is not None:
-            with timer.scope("seq.drain_backend"):
-                delta = self._backend_future.result()
-            self._backend_future = None
-            if delta is not None:
-                self._apply_correction(delta)
-                return np.asarray(delta, np.float64)
-        return None
+    def _worker_job(self, args, kwargs, C_dispatch):
+        """Backend job, run on the single worker thread (jobs serialize in
+        chunk order). Corrections returned by EARLIER jobs may not have
+        reached the device chain yet (bounded drain lag); the worker's own
+        cumulative correction (`_C_worker`) is always current here, so the
+        chunk's poses are re-based into the backend's map frame exactly —
+        BA must never re-measure drift that is still in flight."""
+        buf, est_poses, covs, kf_flags, camera, cfg = args
+        rebase = self._C_worker @ np.linalg.inv(C_dispatch)
+        if not np.allclose(rebase, np.eye(4), atol=1e-12):
+            est_poses = [rebase @ p for p in est_poses]
+        delta = self.mapping.process_chunk(
+            buf, est_poses, covs, kf_flags, camera, cfg, **kwargs
+        )
+        if delta is not None:
+            self._C_worker = np.asarray(delta, np.float64) @ self._C_worker
+        return delta
+
+    def _drain_oldest(self) -> None:
+        """Block on the oldest outstanding backend job and fold its
+        correction into the device chain (corrections apply in chunk
+        order, each exactly once)."""
+        fut = self._backend_futures.pop(0)
+        with timer.scope("seq.drain_backend"):
+            delta = fut.result()
+        if delta is not None:
+            self._apply_correction(delta)
+
+    def _drain_backend(self) -> None:
+        """Flush every outstanding backend job (end of stream / checkpoint
+        boundaries)."""
+        while self._backend_futures:
+            self._drain_oldest()
 
     def _dispatch(self, buf):
         with timer.scope("seq.dispatch"):
@@ -449,6 +485,20 @@ class SequentialOdometry:
             self.camera,
             self.cfg,
         )
+        # mapping mode: enqueue the chunk's feature extraction for ALL
+        # frames RIGHT BEHIND its scan — the keyframe flags aren't known
+        # yet, but any later dispatch (the backend worker gets the chunk
+        # only after the NEXT scan is in flight) queues behind a whole scan
+        # program on the in-order device. Stereo keeps the worker-side
+        # keyframe-only path (extraction would re-run block matching).
+        self._last_detect = None
+        if self.mapping is not None and self.cfg.stereo_baseline == 0.0:
+            try:
+                self._last_detect = self.mapping.dispatch_detect(
+                    None, self._last_staged, self.camera, self.cfg
+                )
+            except Exception:
+                self._last_detect = None
         return stamps, n, poses, cov, is_kf
 
     def _collect(self, stamps, n, poses, cov, is_kf):

@@ -211,14 +211,26 @@ class ChunkMappingBackend:
 
         return drift_significant(self._ba, est_pose, corrected, self.min_correction)
 
-    def _detect_batch(self, kf_js, device_images, camera, cfg):
-        """One device round trip for every keyframe's feature extraction
-        (see `_light_detect_batch`); light planes stay on device as lazy
-        slices of the batch output."""
-        idxs = jnp.asarray(np.asarray(kf_js, np.int32))
-        out = _light_detect_batch(
-            device_images[0][idxs],
-            device_images[1][idxs],
+    def dispatch_detect(self, kf_js, device_images, camera, cfg):
+        """ASYNC dispatch of batched feature extraction (no fetch). The scan
+        driver calls this on the MAIN thread right after it dispatches a
+        chunk's scan — with ``kf_js=None`` it extracts EVERY frame of the
+        chunk: the keyframe flags are a scan output the host hasn't seen at
+        dispatch time, but device programs execute in enqueue order, so a
+        detect dispatched any later (e.g. from the backend worker, which
+        only gets the chunk after the NEXT scan is in flight) queues behind
+        a whole scan program — head-of-line latency the worker then spends
+        blocked in its first fetch. Detecting all frames trades a small
+        amount of device compute (FAST/BRIEF is cheap next to the GN solve)
+        for a perfect queue position."""
+        if kf_js is None:
+            imgs = (device_images[0], device_images[1])
+        else:
+            idxs = jnp.asarray(np.asarray(kf_js, np.int32))
+            imgs = (device_images[0][idxs], device_images[1][idxs])
+        return _light_detect_batch(
+            imgs[0],
+            imgs[1],
             camera.fx,
             depth_scale=float(cfg.depth_scale),
             stereo_baseline=float(cfg.stereo_baseline),
@@ -226,8 +238,26 @@ class ChunkMappingBackend:
             threshold=float(self._tracking.fast_threshold),
             cell=int(self._tracking.grid_cell),
         )
-        feats = jax.device_get(out[2:])  # uv, resp, keep, desc, z
-        return (out[0], out[1], jnp.zeros_like(out[0][0]), feats)
+
+    def _detect_batch(self, kf_js, device_images, camera, cfg, out=None):
+        """Batched keyframe feature extraction (see `_light_detect_batch`);
+        light planes stay on device as lazy slices of the batch output.
+        `out`: pre-dispatched device arrays from `dispatch_detect(None, ...)`
+        covering ALL chunk frames — only the fetch remains, and the keyframe
+        rows are sliced host-side. Returns (inten, depth, zeros, feats,
+        rows) with `rows[bi]` the plane row of keyframe bi."""
+        if out is None:
+            out = self.dispatch_detect(kf_js, device_images, camera, cfg)
+            feats = jax.device_get(out[2:])  # uv, resp, keep, desc, z
+            plane_rows = np.arange(len(kf_js))
+        else:
+            # fetch ALL rows (already computed on device — slicing there
+            # would enqueue a gather program behind the next scan), then
+            # keep only the keyframe rows host-side
+            sel = np.asarray(kf_js, np.int64)
+            feats = tuple(a[sel] for a in jax.device_get(out[2:]))
+            plane_rows = sel
+        return (out[0], out[1], jnp.zeros_like(out[0][0]), feats, plane_rows)
 
     def process_chunk(
         self,
@@ -238,6 +268,7 @@ class ChunkMappingBackend:
         camera: Camera,
         cfg,  # SequentialConfig (n_levels, depth_scale)
         device_images: Optional[Tuple] = None,  # staged (K,H,W) chunk arrays
+        detect_out: Optional[Tuple] = None,  # pre-dispatched dispatch_detect
     ) -> Optional[np.ndarray]:
         """Run the keyframe backend over one chunk. Returns a 4x4 world-frame
         correction to fold into the device state, or None.
@@ -261,10 +292,12 @@ class ChunkMappingBackend:
         # _light_detect_batch); the light planes stay on device as lazy
         # slices of the batch
         batch = None
-        if device_images is not None:
+        if device_images is not None or detect_out is not None:
             try:
                 with timer.scope("map.detect_batch"):
-                    batch = self._detect_batch(kf_js, device_images, camera, cfg)
+                    batch = self._detect_batch(
+                        kf_js, device_images, camera, cfg, out=detect_out
+                    )
             except Exception as exc:
                 self._log.warning("batched keyframe extraction failed: %s", exc)
                 batch = None
@@ -276,9 +309,10 @@ class ChunkMappingBackend:
             t_ns, intensity, depth = buf[j]
             est_pose = np.asarray(poses[j], np.float64)
             if batch is not None:
-                inten_b, depth_b, zeros, (uv, _resp, keep, desc, z) = batch
+                inten_b, depth_b, zeros, (uv, _resp, keep, desc, z), plane_rows = batch
+                pr = int(plane_rows[bi])
                 dev = Frame(
-                    intensity=(inten_b[bi],), depth=(depth_b[bi],),
+                    intensity=(inten_b[pr],), depth=(depth_b[pr],),
                     dIx=(zeros,), dIy=(zeros,), cameras=(self._cam_host,),
                     pose=se3.SE3(np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
                 )
