@@ -302,7 +302,8 @@ def _link_health():
             bws.append(1.0 / (time.perf_counter() - t0))
         return {
             "link_rtt_ms": round(min(rtts) * 1e3, 1),
-            "link_up_mbps": round(max(bws), 1),
+            # megaBYTES per second (MiB payload / s) — NOT megabits
+            "link_up_mbytes_per_s": round(max(bws), 1),
         }
     except Exception:  # never let diagnostics kill the bench
         return {}

@@ -351,14 +351,21 @@ class FeatureTracking:
         newest first) + (pre-chunk window), trimmed to the map's sliding
         window — exactly the refs each keyframe would have seen had it been
         inserted and tracked in sequence."""
-        curs = [
-            c for c in curs if c.keypoints is not None and len(c.keypoints) > 0
+        all_curs = list(curs)
+        # queries keep their CHUNK position j: a featureless keyframe still
+        # occupies a window slot for everyone after it (the sequential
+        # cadence inserts it and lets the deque evict accordingly), it just
+        # asks no queries and contributes no candidates
+        queries = [
+            (j, c)
+            for j, c in enumerate(all_curs)
+            if c.keypoints is not None and len(c.keypoints) > 0
         ]
-        if not curs:
+        if not queries:
             return []
-        cam_f = _cam_floats(curs[0].frame.cameras[0])
+        cam_f = _cam_floats(queries[0][1].frame.cameras[0])
         fx, fy, cx, cy = cam_f
-        in_chunk = {id(c) for c in curs}
+        in_chunk = {id(c) for c in all_curs}
         refs_w = [f for f in slam_map.keyframes() if id(f) not in in_chunk]
         window = slam_map.max_keyframes
 
@@ -366,18 +373,18 @@ class FeatureTracking:
         # segments in "most recent first" order: in-chunk refs (newest
         # first; the last keyframe is never a reference) then the pre-chunk
         # window — so a segment's rank equals its position in any query's
-        # reference list
-        pool_refs = [
-            f
-            for f in list(reversed(curs[:-1])) + refs_w
-            if f.keypoints is not None and len(f.keypoints) > 0
-        ]
+        # reference list. Featureless refs stay in the list as EMPTY
+        # segments: they consume a rank (window slot) exactly like the
+        # sequential cadence's deque.
+        pool_refs = list(reversed(all_curs[:-1])) + refs_w
         if not pool_refs:
             return []
         seg_rank: List[np.ndarray] = []  # per-entry rank (= ref recency)
         desc_pool_l, pw_l, pid_l, usable_l = [], [], [], []
         cand: List = []
         for r, f in enumerate(pool_refs):
+            if f.keypoints is None or len(f.keypoints) == 0:
+                continue  # empty segment: rank r consumed, no entries
             pids = np.asarray(f.kp_landmark, np.int64)
             pos_lm, ok_lm = slam_map.positions_lookup(pids)
             z = np.asarray(f.kp_depth, np.float64)
@@ -396,31 +403,33 @@ class FeatureTracking:
             n = len(pids)
             seg_rank.append(np.full(n, r))
             cand.extend((f, int(i)) for i in range(n))
+        if not pw_l:
+            return []
         pw = np.concatenate(pw_l)  # (n_pool, 3) world
         pids_pool = np.concatenate(pid_l)
         usable = np.concatenate(usable_l)
         rank = np.concatenate(seg_rank)
         n_pool = len(pw)
         P = _bucket(n_pool)
-        Q = _bucket(max(len(c.keypoints) for c in curs))
+        Q = _bucket(max(len(c.keypoints) for _, c in queries))
         # batch axis padded to a power of two as well (keyframe count varies
         # chunk to chunk); dead rows carry all-false masks
-        B = _bucket(len(curs), minimum=2)
+        B = _bucket(len(queries), minimum=2)
         desc_pool = np.zeros((P, desc_mod.N_BYTES), np.uint8)
         desc_pool[:n_pool] = np.concatenate(desc_pool_l)
 
         # ---- per-query masks + camera-frame points ----
         # one batched pose transform for ALL queries x pool entries
-        R_all = np.stack([c.pose[:3, :3] for c in curs])  # (m, 3, 3)
-        t_all = np.stack([c.pose[:3, 3] for c in curs])  # (m, 3)
+        R_all = np.stack([c.pose[:3, :3] for _, c in queries])  # (m, 3, 3)
+        t_all = np.stack([c.pose[:3, 3] for _, c in queries])  # (m, 3)
         p_c = np.einsum("mij,pj->mpi", R_all, pw) + t_all[:, None, :]
         p3d = np.full((B, P, 3), -1.0, np.float32)
-        p3d[: len(curs), :n_pool] = np.where(
+        p3d[: len(queries), :n_pool] = np.where(
             usable[None, :, None], p_c, np.array([0.0, 0.0, -1.0])
         )
         # visibility of landmark-backed candidates in each query view
         # (FeatureTracking.cpp:178-203 select semantics)
-        W_img, H_img = curs[0].frame.width(0), curs[0].frame.height(0)
+        W_img, H_img = queries[0][1].frame.width(0), queries[0][1].frame.height(0)
         b = self.border
         zq = p_c[:, :, 2]
         zs = np.where(zq > 0, zq, 1.0)
@@ -437,31 +446,32 @@ class FeatureTracking:
         desc_q = np.zeros((B, Q, desc_mod.N_BYTES), np.uint8)
         uv_q = np.zeros((B, Q, 2), np.float32)
         mask_q = np.zeros((B, Q), bool)
-        m_chunk = len(curs)
+        m_chunk = len(all_curs)
         max_refs = max(window - 1, 1)
-        for i, cur in enumerate(curs):
-            # query i's references in recency order are pool ranks
-            # [m-1-i, m-i, ...]: in-chunk refs curs[i-1]..curs[0] sit at
-            # ranks m-1-i..m-2 (pool_refs lists in-chunk newest first,
-            # excluding the final keyframe), the pre-chunk window follows at
-            # m-1... — a CONTIGUOUS rank range, trimmed to the sliding
-            # window exactly like the sequential cadence's ref list
-            lo = m_chunk - 1 - i
+        for bi, (j, cur) in enumerate(queries):
+            # chunk-position j's references in recency order are pool ranks
+            # [m-1-j, m-j, ...]: in-chunk refs all_curs[j-1]..all_curs[0]
+            # sit at ranks m-1-j..m-2 (pool_refs lists in-chunk newest
+            # first, excluding the final keyframe), the pre-chunk window
+            # follows at m-1... — a CONTIGUOUS rank range, trimmed to the
+            # sliding window exactly like the sequential cadence's ref list
+            # (empty segments consume ranks, so trimming counts FRAMES)
+            lo = m_chunk - 1 - j
             in_refs = (rank >= lo) & (rank < lo + max_refs)
             m_un = in_refs & ~assoc
-            sel = in_refs & assoc & usable & vis[i]
+            sel = in_refs & assoc & usable & vis[bi]
             m_assoc = np.zeros(n_pool, bool)
             if sel.any():
                 cand_idx = order[sel]
                 _, first = np.unique(pids_pool[cand_idx], return_index=True)
                 m_assoc[cand_idx[first]] = True
-            mask_c[i, :n_pool] = m_un | m_assoc
+            mask_c[bi, :n_pool] = m_un | m_assoc
             dq, uq, mq = self._query_arrays(cur, Q)
-            desc_q[i], uv_q[i], mask_q[i] = dq, uq, mq
+            desc_q[bi], uv_q[bi], mask_q[bi] = dq, uq, mq
 
         if not mask_c.any():
             return []
-        cam = curs[0].frame.cameras[0]
+        cam = queries[0][1].frame.cameras[0]
         with timer.scope("track.match"):
             idx, ok = jax.device_get(
                 _match_pool_batch(
@@ -476,13 +486,22 @@ class FeatureTracking:
                 )
             )
         new_points: List[Landmark] = []
-        for i, cur in enumerate(curs):
-            nq = len(cur.keypoints)
-            pts = self._bookkeep(
-                cur, idx[i][:nq], ok[i][:nq], cand, cam_f, slam_map
-            )
-            # in-chunk landmarks become resolvable for LATER keyframes'
-            # transitive association (position lookups in _bookkeep)
-            slam_map.insert_points(pts)
-            new_points.extend(pts)
+        try:
+            for bi, (_j, cur) in enumerate(queries):
+                nq = len(cur.keypoints)
+                pts = self._bookkeep(
+                    cur, idx[bi][:nq], ok[bi][:nq], cand, cam_f, slam_map
+                )
+                # in-chunk landmarks become resolvable for LATER keyframes'
+                # transitive association (position lookups in _bookkeep)
+                slam_map.insert_points(pts)
+                new_points.extend(pts)
+        except Exception as exc:
+            # the association write-back has begun — kp_landmark arrays and
+            # the landmark dict are partially mutated, so a sequential
+            # re-track of the same frames would corrupt the observation
+            # graph. Mark the exception so callers degrade by SKIPPING
+            # tracking for this chunk instead of falling back.
+            exc.mutated_map = True
+            raise
         return new_points

@@ -91,7 +91,11 @@ class Map:
 
     @property
     def max_keyframes(self) -> int:
-        return self._keyframes.maxlen or 7
+        """Keyframe window size; effectively unbounded for maxlen=None
+        (consumers trim reference lists with this — an unbounded map must
+        not silently narrow them)."""
+        m = self._keyframes.maxlen
+        return int(m) if m is not None else (1 << 30)
 
     def insert(self, frame: HostFrame, is_keyframe: bool = False):
         self._frames.appendleft(frame)

@@ -37,6 +37,7 @@ from ..core.frame import create_frame
 from ..core.se3 import SE3
 from ..kalman import ekf_se3
 from ..utils import timer
+from ..utils.log import get_logger
 
 __all__ = ["SequentialConfig", "SequentialState", "init_state", "scan_odometry", "SequentialOdometry"]
 
@@ -497,7 +498,14 @@ class SequentialOdometry:
                 self._last_detect = self.mapping.dispatch_detect(
                     None, self._last_staged, self.camera, self.cfg
                 )
-            except Exception:
+            except Exception as exc:
+                # fall back to worker-side detect — functional, but every
+                # chunk then eats the scan-queue head-of-line latency this
+                # dispatch exists to avoid; say so
+                get_logger("sequential").warning(
+                    "early detect dispatch failed (worker-side fallback): %s",
+                    exc,
+                )
                 self._last_detect = None
         return stamps, n, poses, cov, is_kf
 

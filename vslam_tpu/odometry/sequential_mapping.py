@@ -351,8 +351,20 @@ class ChunkMappingBackend:
                     # inserts the new landmarks into the map
                     self._tracking.track_batch([f for f, _ in frames], self.map)
             except Exception as exc:
-                self._log.warning("chunk-batched tracking failed: %s", exc)
-                batch_track = False
+                if getattr(exc, "mutated_map", False):
+                    # bookkeeping began: kp_landmark / landmark state is
+                    # partially written, so a sequential re-track would
+                    # corrupt the observation graph — skip tracking for
+                    # this chunk (graceful degradation) instead
+                    self._log.warning(
+                        "chunk-batched tracking failed mid-write-back "
+                        "(skipping the chunk's tracking): %s", exc
+                    )
+                else:
+                    self._log.warning(
+                        "chunk-batched tracking failed: %s", exc
+                    )
+                    batch_track = False
 
         last_frame: Optional[HostFrame] = None
         last_est: Optional[np.ndarray] = None
