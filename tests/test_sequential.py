@@ -132,6 +132,47 @@ def test_fused_scan_with_mapping_backend():
         np.testing.assert_allclose(T1, T3, atol=1e-9)
 
 
+def test_run_staged_matches_run():
+    """run_staged (device-resident replay, zero per-frame uploads) must
+    produce the same trajectory as run() on the same stream — including the
+    padded final chunk — and repeated staged replays must be identical
+    (replays share one staging pass and are independent)."""
+    from vslam_tpu.odometry.sequential import stage_stream
+
+    poses, frames = _make_sequence()
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cfg = _seq_cfg()
+    stream = [(i * DT_NS, f[0], f[1]) for i, f in enumerate(frames)]
+
+    res_run = SequentialOdometry(cam, cfg, chunk=4).run(iter(stream))
+    first, chunks = stage_stream(iter(stream), 4)
+    assert len(chunks) == 3 and chunks[-1].n == 1  # 10 frames: 1 init + 4+4+1
+    odo = SequentialOdometry(cam, cfg, chunk=4)
+    res_staged = odo.run_staged(first, chunks)
+    res_staged2 = odo.run_staged(first, chunks)  # same driver, same chunks
+
+    assert len(res_staged) == len(res_run) == N_FRAMES
+    for (t1, p1, c1), (t2, p2, c2) in zip(res_run, res_staged):
+        assert t1 == t2
+        np.testing.assert_allclose(p1, p2, atol=1e-9)
+        np.testing.assert_allclose(c1, c2, atol=1e-9)
+    for (_, p1, _), (_, p2, _) in zip(res_staged, res_staged2):
+        np.testing.assert_allclose(p1, p2, atol=1e-12)
+
+    # mapping mode: staged replay drives the same backend cadence
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    res_m = SequentialOdometry(
+        cam, cfg, chunk=4, mapping=ChunkMappingBackend(enable_ba=True)
+    ).run(iter(stream))
+    res_ms = SequentialOdometry(
+        cam, cfg, chunk=4, mapping=ChunkMappingBackend(enable_ba=True)
+    ).run_staged(first, chunks)
+    for (t1, p1, _), (t2, p2, _) in zip(res_m, res_ms):
+        assert t1 == t2
+        np.testing.assert_allclose(p1, p2, atol=1e-9)
+
+
 def test_chunk_batched_tracking_matches_sequential():
     """track_schedule='chunk' (ALL of a chunk's keyframes matched in one
     vmapped device program, FeatureTracking.track_batch) vs the reference's

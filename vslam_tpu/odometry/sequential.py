@@ -39,7 +39,15 @@ from ..kalman import ekf_se3
 from ..utils import timer
 from ..utils.log import get_logger
 
-__all__ = ["SequentialConfig", "SequentialState", "init_state", "scan_odometry", "SequentialOdometry"]
+__all__ = [
+    "SequentialConfig",
+    "SequentialState",
+    "StagedChunk",
+    "init_state",
+    "scan_odometry",
+    "stage_stream",
+    "SequentialOdometry",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +131,78 @@ def init_state(
 
 def _select_tree(pred, a, b):
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+class StagedChunk(NamedTuple):
+    """One chunk of the stream, staged for dispatch: images already resident
+    on device (native sensor dtype), padding applied. `raw` keeps the chunk's
+    original (t_ns, intensity, depth) host items for the mapping backend."""
+
+    stamps: Tuple[int, ...]
+    n: int
+    raw: Tuple[Tuple[int, np.ndarray, np.ndarray], ...]
+    intensity: jax.Array  # (K, H, W) native dtype, device
+    depth: jax.Array  # (K, H, W) native dtype, device
+    dts: jax.Array  # (K,) f32, device
+    live: jax.Array  # (K,) bool, device
+
+
+def _stage_chunk(buf, t_prev_ns: int, chunk: int) -> StagedChunk:
+    """Pack a chunk's frames into padded (K, H, W) arrays and push them to
+    device. Staging is the only host->device image transfer on the fused
+    path; splitting it from the dispatch lets `run_staged` replay a stream
+    whose bytes are already resident (a TPU VM's local DMA feed; on a
+    remote-attached chip the tunnel upload otherwise bounds fps)."""
+    K = chunk
+    n = len(buf)
+    H, W = buf[0][1].shape
+    intensity = np.zeros((K, H, W), np.asarray(buf[0][1]).dtype)
+    depth = np.zeros((K, H, W), np.asarray(buf[0][2]).dtype)
+    dts = np.zeros(K, np.float32)
+    live = np.zeros(K, bool)
+    t_prev = int(t_prev_ns)
+    stamps = []
+    for j, (t_ns, i, d) in enumerate(buf):
+        intensity[j] = i
+        depth[j] = d
+        dts[j] = (int(t_ns) - t_prev) / 1e9
+        live[j] = True
+        t_prev = int(t_ns)
+        stamps.append(int(t_ns))
+    return StagedChunk(
+        stamps=tuple(stamps),
+        n=n,
+        raw=tuple(buf),
+        intensity=jnp.asarray(intensity),
+        depth=jnp.asarray(depth),
+        dts=jnp.asarray(dts),
+        live=jnp.asarray(live),
+    )
+
+
+def stage_stream(
+    stream: Iterable[Tuple[int, np.ndarray, np.ndarray]], chunk: int
+) -> Tuple[Tuple[int, np.ndarray, np.ndarray], List[StagedChunk]]:
+    """Stage a whole stream onto the device up front. Returns the first
+    frame (which initializes the pose chain, `init_state`) and the remaining
+    frames as device-resident `StagedChunk`s for `SequentialOdometry.
+    run_staged`. The staged arrays are immutable, so several replays (e.g.
+    timed benchmark repetitions) can share one staging pass."""
+    it = iter(stream)
+    first = next(it)
+    t_prev = int(first[0])
+    chunks: List[StagedChunk] = []
+    buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
+    for item in it:
+        buf.append(item)
+        if len(buf) == chunk:
+            sc = _stage_chunk(buf, t_prev, chunk)
+            t_prev = sc.stamps[-1]
+            chunks.append(sc)
+            buf = []
+    if buf:
+        chunks.append(_stage_chunk(buf, t_prev, chunk))
+    return first, chunks
 
 
 def _step(state: SequentialState, intensity, depth, dt, live, camera: Camera, cfg: SequentialConfig):
@@ -360,7 +440,37 @@ class SequentialOdometry:
             self._drain_backend()
         return out
 
-    def _advance(self, buf, pending, out):
+    def run_staged(self, first, chunks: List[StagedChunk]):
+        """Replay a pre-staged stream (see `stage_stream`). Semantics match
+        `run()` on the same frames chunked the same way; the only difference
+        is that the chunk images are already device-resident, so a replay
+        performs ZERO per-frame host->device image transfers. This separates
+        the chip's sustained tracking rate from feed-link upload bandwidth
+        (a TPU VM's local DMA feed sustains the 30 Hz sensor rate; a
+        remote-attachment measurement tunnel often cannot). Starts a FRESH
+        trajectory from `first` — staged replays are independent, so several
+        timed repetitions can share one staging pass."""
+        t_ns, i0, d0 = first
+        self.state = init_state(i0, d0, self.camera, self.cfg)
+        self._t_last_ns = int(t_ns)
+        self._C_total = np.eye(4)
+        self._C_worker = np.eye(4)
+        out: List[Tuple[int, np.ndarray, np.ndarray]] = [(int(t_ns), np.eye(4), np.eye(6))]
+        if self.mapping is not None:
+            self.mapping.process_chunk(
+                [(int(t_ns), i0, d0)], [np.eye(4)], [np.eye(6)], [True],
+                self.camera, self.cfg,
+            )
+        pending = None
+        for sc in chunks:
+            pending = self._advance(None, pending, out, staged=sc)
+        if pending is not None:
+            self._retire(pending, out)
+        if self.async_mapping:
+            self._drain_backend()
+        return out
+
+    def _advance(self, buf, pending, out, staged: Optional[StagedChunk] = None):
         """Dispatch the next chunk, then retire the previous one (the retire
         blocks on the previous chunk's fetch WHILE the new chunk's scan owns
         the device). Synchronous mapping retires FIRST so the backend's
@@ -369,10 +479,10 @@ class SequentialOdometry:
         if sync_mapping and pending is not None:
             self._retire(pending, out)
             pending = None
-        nxt = self._dispatch(buf)
+        nxt = self._dispatch(buf) if staged is None else self._dispatch_staged(staged)
         rec = (
             nxt,
-            list(buf),
+            list(buf) if staged is None else list(staged.raw),
             self._last_staged if self.mapping is not None else None,
             self._C_total.copy(),
             self._last_detect if self.mapping is not None else None,
@@ -451,6 +561,42 @@ class SequentialOdometry:
         with timer.scope("seq.dispatch"):
             return self._dispatch_inner(buf)
 
+    def _dispatch_staged(self, sc: StagedChunk):
+        """Dispatch a chunk whose images are already on device (run_staged):
+        identical to `_dispatch_inner` minus the host->device staging."""
+        with timer.scope("seq.dispatch"):
+            self._last_staged = (sc.intensity, sc.depth)
+            self.state, poses, valid, cov, is_kf = scan_odometry(
+                self.state, sc.intensity, sc.depth, sc.dts, sc.live,
+                self.camera, self.cfg,
+            )
+            self._dispatch_detect_early()
+            self._t_last_ns = sc.stamps[-1]
+            return list(sc.stamps), sc.n, poses, cov, is_kf
+
+    def _dispatch_detect_early(self):
+        """Mapping mode: enqueue the chunk's feature extraction for ALL
+        frames RIGHT BEHIND its scan — the keyframe flags aren't known
+        yet, but any later dispatch (the backend worker gets the chunk
+        only after the NEXT scan is in flight) queues behind a whole scan
+        program on the in-order device. Stereo keeps the worker-side
+        keyframe-only path (extraction would re-run block matching)."""
+        self._last_detect = None
+        if self.mapping is not None and self.cfg.stereo_baseline == 0.0:
+            try:
+                self._last_detect = self.mapping.dispatch_detect(
+                    None, self._last_staged, self.camera, self.cfg
+                )
+            except Exception as exc:
+                # fall back to worker-side detect — functional, but every
+                # chunk then eats the scan-queue head-of-line latency this
+                # dispatch exists to avoid; say so
+                get_logger("sequential").warning(
+                    "early detect dispatch failed (worker-side fallback): %s",
+                    exc,
+                )
+                self._last_detect = None
+
     def _dispatch_inner(self, buf):
         K = self.chunk
         n = len(buf)
@@ -486,27 +632,7 @@ class SequentialOdometry:
             self.camera,
             self.cfg,
         )
-        # mapping mode: enqueue the chunk's feature extraction for ALL
-        # frames RIGHT BEHIND its scan — the keyframe flags aren't known
-        # yet, but any later dispatch (the backend worker gets the chunk
-        # only after the NEXT scan is in flight) queues behind a whole scan
-        # program on the in-order device. Stereo keeps the worker-side
-        # keyframe-only path (extraction would re-run block matching).
-        self._last_detect = None
-        if self.mapping is not None and self.cfg.stereo_baseline == 0.0:
-            try:
-                self._last_detect = self.mapping.dispatch_detect(
-                    None, self._last_staged, self.camera, self.cfg
-                )
-            except Exception as exc:
-                # fall back to worker-side detect — functional, but every
-                # chunk then eats the scan-queue head-of-line latency this
-                # dispatch exists to avoid; say so
-                get_logger("sequential").warning(
-                    "early detect dispatch failed (worker-side fallback): %s",
-                    exc,
-                )
-                self._last_detect = None
+        self._dispatch_detect_early()
         return stamps, n, poses, cov, is_kf
 
     def _collect(self, stamps, n, poses, cov, is_kf):
