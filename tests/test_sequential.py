@@ -173,6 +173,31 @@ def test_run_staged_matches_run():
         np.testing.assert_allclose(p1, p2, atol=1e-9)
 
 
+def test_mapping_backend_compute_device_parity():
+    """compute_device="cpu" routes the backend's match/BA programs through
+    jax.default_device(cpu) (on a TPU session they then run CONCURRENTLY
+    with the scan instead of queueing behind it); the trajectory must be
+    identical to the default-device path."""
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    poses, frames = _make_sequence()
+    cam = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    cfg = _seq_cfg()
+    stream = [(i * DT_NS, f[0], f[1]) for i, f in enumerate(frames)]
+
+    res_default = SequentialOdometry(
+        cam, cfg, chunk=4,
+        mapping=ChunkMappingBackend(enable_ba=True, compute_device="default"),
+    ).run(iter(stream))
+    b_cpu = ChunkMappingBackend(enable_ba=True, compute_device="cpu")
+    assert b_cpu._compute_dev is not None  # forced host path is active
+    res_cpu = SequentialOdometry(cam, cfg, chunk=4, mapping=b_cpu).run(iter(stream))
+    assert b_cpu.n_landmarks > 0
+    for (t1, p1, _), (t2, p2, _) in zip(res_default, res_cpu):
+        assert t1 == t2
+        np.testing.assert_allclose(p1, p2, atol=1e-9)
+
+
 def test_chunk_batched_tracking_matches_sequential():
     """track_schedule='chunk' (ALL of a chunk's keyframes matched in one
     vmapped device program, FeatureTracking.track_batch) vs the reference's

@@ -14,6 +14,7 @@ compiles once per bucket, not per call.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import List, Optional
 
@@ -106,6 +107,14 @@ class FeatureTracking:
         self.fast_threshold = fast_threshold
         self.grid_cell = grid_cell
         self.border = border
+        # context-manager FACTORY wrapped around the MATCH programs only
+        # (their inputs are host numpy; the mapping backend points this at
+        # jax.default_device(cpu) so matching runs concurrently with the
+        # front end's scan instead of queueing behind it on the one
+        # accelerator — sequential_mapping.ChunkMappingBackend.compute_
+        # device). Extraction is dense image work and always stays on the
+        # default device.
+        self.compute_ctx = contextlib.nullcontext
         # absolute gate on the combined descriptor + reprojection distance.
         # The reference's custom matcher gates at 1000 (NodeMapping.cpp:112)
         # in ORB uchar-L1 units (0..8160 possible); our steered-BRIEF bit-L1
@@ -118,15 +127,17 @@ class FeatureTracking:
     def extract(self, frame: HostFrame) -> None:
         """Populate frame.keypoints/descriptors/kp_depth/kp_landmark
         (FeatureTracking::extractFeatures equivalent)."""
-        out = _detect_describe(
-            frame.frame.intensity[0],
-            frame.frame.depth[0],
-            threshold=self.fast_threshold,
-            cell=self.grid_cell,
-        )
+        with timer.scope("track.extract_dispatch"):
+            out = _detect_describe(
+                frame.frame.intensity[0],
+                frame.frame.depth[0],
+                threshold=self.fast_threshold,
+                cell=self.grid_cell,
+            )
         # ONE fetch for all five arrays (five np.asarray calls would each pay
         # a device round trip); descriptors arrive bit-packed (N, 32) u8
-        uv, _resp, keep, desc, z = jax.device_get(out)
+        with timer.scope("track.extract_fetch"):
+            uv, _resp, keep, desc, z = jax.device_get(out)
         frame.keypoints = uv[keep]
         frame.descriptors = desc[keep]
         frame.kp_depth = z[keep]
@@ -283,7 +294,8 @@ class FeatureTracking:
         fields (the chunk backend extracts ALL of a chunk's keyframes in one
         batched device program, `sequential_mapping._light_detect_batch`)."""
         if cur.keypoints is None:
-            self.extract(cur)
+            with timer.scope("track.extract"):
+                self.extract(cur)
         refs = [f for f in slam_map.keyframes() if f is not cur]
         if not refs or cur.keypoints is None or len(cur.keypoints) == 0:
             return []
@@ -299,7 +311,7 @@ class FeatureTracking:
         nq = len(cur.keypoints)
         desc_q, uv_q, mask_q = self._query_arrays(cur, _bucket(nq))
         cam = cur.frame.cameras[0]
-        with timer.scope("track.match"):
+        with timer.scope("track.match"), self.compute_ctx():
             res = _match_combined(
                 jnp.asarray(desc_q),
                 jnp.asarray(uv_q),
@@ -379,6 +391,7 @@ class FeatureTracking:
         pool_refs = list(reversed(all_curs[:-1])) + refs_w
         if not pool_refs:
             return []
+        _t_pool = timer.time.perf_counter()
         seg_rank: List[np.ndarray] = []  # per-entry rank (= ref recency)
         desc_pool_l, pw_l, pid_l, usable_l = [], [], [], []
         cand: List = []
@@ -471,8 +484,9 @@ class FeatureTracking:
 
         if not mask_c.any():
             return []
+        timer.record("track.pool", timer.time.perf_counter() - _t_pool)
         cam = queries[0][1].frame.cameras[0]
-        with timer.scope("track.match"):
+        with timer.scope("track.match"), self.compute_ctx():
             idx, ok = jax.device_get(
                 _match_pool_batch(
                     jnp.asarray(desc_q),
@@ -486,6 +500,7 @@ class FeatureTracking:
                 )
             )
         new_points: List[Landmark] = []
+        _t_book = timer.time.perf_counter()
         try:
             for bi, (_j, cur) in enumerate(queries):
                 nq = len(cur.keypoints)
@@ -504,4 +519,5 @@ class FeatureTracking:
             # tracking for this chunk instead of falling back.
             exc.mutated_map = True
             raise
+        timer.record("track.bookkeep", timer.time.perf_counter() - _t_book)
         return new_points

@@ -104,7 +104,23 @@ def init_state(
     pose0: Optional[SE3] = None,
 ) -> SequentialState:
     """First frame initializes the chain and is the first keyframe
-    (Odometry.cpp:33-35)."""
+    (Odometry.cpp:33-35). Jitted: run eagerly this is hundreds of op-by-op
+    dispatches (pyramid + precompute at full resolution), which on a
+    remote-attached chip serializes ~0.9 s of RPCs at every stream start
+    and stalls whatever queues behind it (measured on the slam gate)."""
+    if pose0 is None:
+        pose0 = se3.identity(dtype=jnp.float32)
+    return _init_state_jit(jnp.asarray(intensity), jnp.asarray(depth), camera, cfg, pose0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_state_jit(
+    intensity: jax.Array,
+    depth: jax.Array,
+    camera: Camera,
+    cfg: SequentialConfig,
+    pose0: SE3,
+) -> SequentialState:
     intensity = jnp.asarray(intensity).astype(jnp.float32)
     if cfg.stereo_baseline > 0.0:
         from ..io.kitti import stereo_depth
@@ -117,7 +133,7 @@ def init_state(
         depth = jnp.asarray(depth).astype(jnp.float32) * jnp.float32(cfg.depth_scale)
     frame = create_frame(intensity, depth, camera, n_levels=cfg.n_levels)
     data = ic.precompute_frame(frame, cfg.alignment)
-    pose = pose0 if pose0 is not None else se3.identity(dtype=jnp.float32)
+    pose = pose0
     return SequentialState(
         kf_data=data,
         last_data=data,
@@ -451,16 +467,18 @@ class SequentialOdometry:
         trajectory from `first` — staged replays are independent, so several
         timed repetitions can share one staging pass."""
         t_ns, i0, d0 = first
-        self.state = init_state(i0, d0, self.camera, self.cfg)
+        with timer.scope("seq.init_state"):
+            self.state = init_state(i0, d0, self.camera, self.cfg)
         self._t_last_ns = int(t_ns)
         self._C_total = np.eye(4)
         self._C_worker = np.eye(4)
         out: List[Tuple[int, np.ndarray, np.ndarray]] = [(int(t_ns), np.eye(4), np.eye(6))]
         if self.mapping is not None:
-            self.mapping.process_chunk(
-                [(int(t_ns), i0, d0)], [np.eye(4)], [np.eye(6)], [True],
-                self.camera, self.cfg,
-            )
+            with timer.scope("seq.first_frame_backend"):
+                self.mapping.process_chunk(
+                    [(int(t_ns), i0, d0)], [np.eye(4)], [np.eye(6)], [True],
+                    self.camera, self.cfg,
+                )
         pending = None
         for sc in chunks:
             pending = self._advance(None, pending, out, staged=sc)

@@ -16,6 +16,7 @@ pipeline (`pipeline.py`), but batched per chunk:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import List, Optional, Tuple
 
@@ -128,6 +129,7 @@ class ChunkMappingBackend:
         min_correction: float = 1e-3,
         ba_schedule: str = "chunk",  # "chunk" | "keyframe"
         track_schedule: str = "chunk",  # "chunk" | "keyframe"
+        compute_device: str = "auto",  # "auto" | "cpu" | "default"
     ):
         from ..features.tracking import FeatureTracking
 
@@ -191,6 +193,42 @@ class ChunkMappingBackend:
             self._graph = PoseGraphBackend()
         self._log = get_logger("mapping")
         self._cam_host: Optional[Camera] = None  # host-scalar intrinsics cache
+        # compute_device: where the backend's SMALL-matrix programs (match,
+        # BA) run. Their inputs are host numpy (fetched features, map state),
+        # their problems are tiny (hundreds of keypoints, <=7 keyframes), and
+        # the accelerator executes programs IN ORDER — so dispatching them to
+        # the chip makes the backend contend with the front end's scan for
+        # the one device (measured: the slam gate runs at ~2/3 of what the
+        # scan alone sustains, all of the loss in backend device programs +
+        # their round trips). "auto" (default) runs them on the host CPU
+        # backend whenever the default backend is an accelerator: the
+        # backend worker thread then computes CONCURRENTLY with the scan —
+        # the reference's own topology (NodeMapping's backend thread on CPU
+        # next to the alignment loop). Dense image work (feature detection)
+        # stays on the accelerator regardless: it reads the scan's staged
+        # chunk arrays and is batched into one early-dispatched program.
+        # "cpu" forces the host path, "default" keeps everything on the
+        # default backend.
+        if compute_device not in ("auto", "cpu", "default"):
+            raise ValueError(f"unknown compute_device {compute_device!r}")
+        self._compute_dev = None
+        if compute_device != "default":
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if cpus and (compute_device == "cpu" or jax.default_backend() != "cpu"):
+                self._compute_dev = cpus[0]
+        # matching inherits the same placement (extraction does not — it is
+        # dense image work and stays on the default device)
+        self._tracking.compute_ctx = self._compute_ctx
+
+    def _compute_ctx(self):
+        """Context placing the backend's match/BA programs (all-numpy
+        inputs) on the host CPU backend — see `compute_device`."""
+        if self._compute_dev is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._compute_dev)
 
     @property
     def n_landmarks(self) -> int:
@@ -380,8 +418,9 @@ class ChunkMappingBackend:
                         d = self._run_ba(frame, est_pose)
                         delta = d if d is not None else delta
                 if self._graph is not None:
-                    self._graph.add_keyframe(frame)
-                    corrections = self._graph.try_close(frame)
+                    with self._compute_ctx():
+                        self._graph.add_keyframe(frame)
+                        corrections = self._graph.try_close(frame)
                     if corrections and frame.id in corrections:
                         in_window = {f.id for f in self.map.keyframes()} | {
                             f.id for f in self.map.frames()
@@ -411,7 +450,7 @@ class ChunkMappingBackend:
         if self._ba is None or len(self.map.keyframes()) < 2:
             return None
         delta: Optional[np.ndarray] = None
-        with timer.scope("map.ba"):
+        with timer.scope("map.ba"), self._compute_ctx():
             ba_poses, points, err0, err1 = self._ba.optimize(self.map)
         if err1 < err0 and self._ba_sane(ba_poses):
             self.map.update_points(points)
