@@ -82,6 +82,47 @@ def test_multi_sequence_matches_single_sequence():
             assert np.allclose(c1, c2, atol=1e-4)
 
 
+def test_multi_sequence_staged_matches_run():
+    """stage_streams/run_staged (device-resident suite replay) must match
+    run() on the same streams — ragged lengths included — and mapping mode
+    must drive the same per-sequence backend cadence."""
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+
+    cfg = _seq_cfg()
+    poses_a, stream_a = _make_stream(9, seed=0)
+    poses_b, stream_b = _make_stream(6, seed=3)
+
+    res_run = mseq.MultiSequenceOdometry([_cam(), _cam()], cfg, chunk=4).run(
+        [stream_a, stream_b]
+    )
+    multi = mseq.MultiSequenceOdometry([_cam(), _cam()], cfg, chunk=4)
+    firsts, chunks = multi.stage_streams([stream_a, stream_b])
+    res_staged = multi.run_staged(firsts, chunks)
+    res_staged2 = multi.run_staged(firsts, chunks)  # replays are independent
+    for s in range(2):
+        assert len(res_staged[s]) == len(res_run[s])
+        for (t1, p1, c1), (t2, p2, c2) in zip(res_run[s], res_staged[s]):
+            assert t1 == t2
+            np.testing.assert_allclose(p1, p2, atol=1e-9)
+            np.testing.assert_allclose(c1, c2, atol=1e-9)
+        for (_, p1, _), (_, p2, _) in zip(res_staged[s], res_staged2[s]):
+            np.testing.assert_allclose(p1, p2, atol=1e-12)
+
+    backends_run = [ChunkMappingBackend(enable_ba=True) for _ in range(2)]
+    res_mrun = mseq.MultiSequenceOdometry(
+        [_cam(), _cam()], cfg, chunk=4, mappings=backends_run
+    ).run([stream_a, stream_b])
+    backends_staged = [ChunkMappingBackend(enable_ba=True) for _ in range(2)]
+    res_mstaged = mseq.MultiSequenceOdometry(
+        [_cam(), _cam()], cfg, chunk=4, mappings=backends_staged
+    ).run_staged(firsts, chunks)
+    for s in range(2):
+        assert backends_staged[s].n_landmarks == backends_run[s].n_landmarks
+        for (t1, p1, _), (t2, p2, _) in zip(res_mrun[s], res_mstaged[s]):
+            assert t1 == t2
+            np.testing.assert_allclose(p1, p2, atol=1e-9)
+
+
 def test_multi_sequence_ragged_lengths():
     """Sequence lengths 10 and 6: the short sequence's dead slots must leave
     its state untouched and emit nothing."""

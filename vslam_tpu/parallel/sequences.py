@@ -21,7 +21,7 @@ like padded chunk slots in the single-sequence driver.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +43,23 @@ __all__ = [
     "init_states",
     "scan_sequences",
     "sharded_scan_sequences",
+    "StagedSuiteChunk",
     "MultiSequenceOdometry",
 ]
+
+
+class StagedSuiteChunk(NamedTuple):
+    """One lock-step (S, K) suite chunk, staged for dispatch: device arrays
+    in native sensor dtype (mesh-sharded when the driver has a mesh), plus
+    the raw host batch the per-sequence mapping backends read."""
+
+    stamps: List[List[int]]  # per-sequence timestamps (ragged)
+    raw_intensity: np.ndarray  # (S, K, H, W) host
+    raw_depth: np.ndarray
+    intensity: jax.Array  # (S, K, H, W) device
+    depth: jax.Array
+    dts: jax.Array  # (S, K) f32
+    live: jax.Array  # (S, K) bool
 
 
 @jax.jit
@@ -188,13 +203,9 @@ class MultiSequenceOdometry:
 
             self.cameras = shard_batch(self.cameras, mesh)
 
-    def run(
-        self, streams: Sequence[Iterable[Tuple[int, np.ndarray, np.ndarray]]]
-    ) -> List[List[Tuple[int, np.ndarray, np.ndarray]]]:
-        """Returns, per sequence, a list of (t_ns, pose world->cam 4x4 f64,
-        cov 6x6 f64) — the same contract as `SequentialOdometry.run`."""
+    def _read_firsts(self, streams):
+        """Pull + validate each stream's first frame (shared geometry)."""
         its = [iter(s) for s in streams]
-        S = len(its)
         firsts = []
         for s, it in enumerate(its):
             try:
@@ -211,6 +222,85 @@ class MultiSequenceOdometry:
                     f"{np.asarray(f[1]).shape}, sequence 0 is {(H, W)} (the "
                     "batched scan is one static-shape program)"
                 )
+        return its, firsts, (H, W)
+
+    def _stage_iter(self, streams):
+        """(firsts, lazy iterator of StagedSuiteChunk). The generator stages
+        one lock-step (S, K) chunk batch at a time — `run` pulls from it so
+        chunk k+1's host staging + transfer overlaps chunk k's device solve;
+        `stage_streams` exhausts it up front for device-resident replays."""
+        its, firsts, (H, W) = self._read_firsts(streams)
+        S = len(its)
+        idt = np.asarray(firsts[0][1]).dtype
+        ddt = np.asarray(firsts[0][2]).dtype
+
+        def gen():
+            t_last = [int(f[0]) for f in firsts]
+            done = [False] * S
+            while not all(done):
+                K = self.chunk
+                inten = np.zeros((S, K, H, W), idt)
+                depth = np.zeros((S, K, H, W), ddt)
+                dts = np.zeros((S, K), np.float32)
+                live = np.zeros((S, K), bool)
+                stamps: List[List[int]] = [[] for _ in range(S)]
+                any_live = False
+                for s in range(S):
+                    for j in range(K):
+                        if done[s]:
+                            break
+                        try:
+                            t_ns, i_, d_ = next(its[s])
+                        except StopIteration:
+                            done[s] = True
+                            break
+                        inten[s, j] = i_
+                        depth[s, j] = d_
+                        dts[s, j] = (int(t_ns) - t_last[s]) / 1e9
+                        live[s, j] = True
+                        any_live = True
+                        t_last[s] = int(t_ns)
+                        stamps[s].append(int(t_ns))
+                if not any_live:
+                    return
+                dev = (
+                    jnp.asarray(inten),
+                    jnp.asarray(depth),
+                    jnp.asarray(dts),
+                    jnp.asarray(live),
+                )
+                if self.mesh is not None:
+                    from .batched import shard_batch
+
+                    dev = tuple(shard_batch(a, self.mesh) for a in dev)
+                yield StagedSuiteChunk(stamps, inten, depth, *dev)
+
+        return firsts, gen()
+
+    def run(
+        self, streams: Sequence[Iterable[Tuple[int, np.ndarray, np.ndarray]]]
+    ) -> List[List[Tuple[int, np.ndarray, np.ndarray]]]:
+        """Returns, per sequence, a list of (t_ns, pose world->cam 4x4 f64,
+        cov 6x6 f64) — the same contract as `SequentialOdometry.run`."""
+        firsts, chunk_iter = self._stage_iter(streams)
+        return self._run_chunks(firsts, chunk_iter)
+
+    def stage_streams(self, streams):
+        """Stage every chunk of the suite onto the device up front. Returns
+        (firsts, chunks) for `run_staged` — the multi-sequence analog of
+        `odometry.sequential.stage_stream` (see its docstring for why:
+        device-resident replays measure the chip, not the feed link)."""
+        firsts, chunk_iter = self._stage_iter(streams)
+        return firsts, list(chunk_iter)
+
+    def run_staged(self, firsts, chunks) -> List[List[Tuple[int, np.ndarray, np.ndarray]]]:
+        """Replay pre-staged suite chunks (zero per-frame uploads). Same
+        semantics as `run()` on the same streams; replays are independent —
+        in mapping mode, supply FRESH per-sequence backends per replay."""
+        return self._run_chunks(firsts, iter(chunks))
+
+    def _run_chunks(self, firsts, chunk_iter):
+        S = len(firsts)
         i0 = np.stack([np.asarray(f[1]) for f in firsts])
         d0 = np.stack([np.asarray(f[2]) for f in firsts])
         i0_dev, d0_dev = jnp.asarray(i0), jnp.asarray(d0)
@@ -224,60 +314,23 @@ class MultiSequenceOdometry:
             from .batched import shard_batch
 
             states = shard_batch(states, self.mesh)
-        t_last = [int(f[0]) for f in firsts]
+        t0s = [int(f[0]) for f in firsts]
         out: List[List[Tuple[int, np.ndarray, np.ndarray]]] = [
-            [(t_last[s], np.eye(4), np.eye(6))] for s in range(S)
+            [(t0s[s], np.eye(4), np.eye(6))] for s in range(S)
         ]
         if self.mappings is not None:
             # each sequence's frame 0 seeds its backend map (first keyframe)
             for s, backend in enumerate(self.mappings):
                 backend.process_chunk(
-                    [(t_last[s], i0[s], d0[s])], [np.eye(4)], [np.eye(6)],
+                    [(t0s[s], i0[s], d0[s])], [np.eye(4)], [np.eye(6)],
                     [True], self._cam_list[s], self.cfg,
                 )
-        done = [False] * S
-        idt, ddt = i0.dtype, d0.dtype
         pending = None
 
-        while not all(done):
-            K = self.chunk
-            inten = np.zeros((S, K, H, W), idt)
-            depth = np.zeros((S, K, H, W), ddt)
-            dts = np.zeros((S, K), np.float32)
-            live = np.zeros((S, K), bool)
-            stamps: List[List[int]] = [[] for _ in range(S)]
-            any_live = False
-            for s in range(S):
-                for j in range(K):
-                    if done[s]:
-                        break
-                    try:
-                        t_ns, i_, d_ = next(its[s])
-                    except StopIteration:
-                        done[s] = True
-                        break
-                    inten[s, j] = i_
-                    depth[s, j] = d_
-                    dts[s, j] = (int(t_ns) - t_last[s]) / 1e9
-                    live[s, j] = True
-                    any_live = True
-                    t_last[s] = int(t_ns)
-                    stamps[s].append(int(t_ns))
-            if not any_live:
-                break
-            args = (
-                states,
-                jnp.asarray(inten),
-                jnp.asarray(depth),
-                jnp.asarray(dts),
-                jnp.asarray(live),
-            )
+        for sc in chunk_iter:
+            stamps, inten, depth = sc.stamps, sc.raw_intensity, sc.raw_depth
+            args = (states, sc.intensity, sc.depth, sc.dts, sc.live)
             if self._sharded is not None:
-                from .batched import shard_batch
-
-                args = (args[0],) + tuple(
-                    shard_batch(a, self.mesh) for a in args[1:]
-                )
                 states, poses, valid, cov, is_kf, _frac = self._sharded(
                     *args, self.cameras
                 )
