@@ -168,6 +168,15 @@ def test_multi_sequence_sharded_mesh():
             assert t1 == t2
             assert np.linalg.norm(lie_np.log(lie_np.relative(p1, p2))) < 1e-4
 
+    # staged replay on the mesh: chunks are sharded at staging time
+    multi = mseq.MultiSequenceOdometry([_cam()] * S, cfg, chunk=3, mesh=mesh)
+    firsts, chunks = multi.stage_streams([iter(s) for s in streams])
+    res_staged = multi.run_staged(firsts, chunks)
+    for s in range(S):
+        for (t1, p1, _), (t2, p2, _) in zip(res[s], res_staged[s]):
+            assert t1 == t2
+            np.testing.assert_allclose(p1, p2, atol=1e-9)
+
 
 @pytest.mark.parametrize("async_mapping", [False, True])
 def test_multi_sequence_with_mapping_backends(async_mapping):
