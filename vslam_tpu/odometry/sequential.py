@@ -472,6 +472,7 @@ class SequentialOdometry:
         self._t_last_ns = int(t_ns)
         self._C_total = np.eye(4)
         self._C_worker = np.eye(4)
+        self._backend_futures = []  # a prior aborted run must not leak corrections
         out: List[Tuple[int, np.ndarray, np.ndarray]] = [(int(t_ns), np.eye(4), np.eye(6))]
         if self.mapping is not None:
             with timer.scope("seq.first_frame_backend"):
