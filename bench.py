@@ -533,7 +533,11 @@ def bench_odometry_fps():
     est_s = {t / 1e9: lie_np.inv(p) for t, p, _ in res_staged}
     ate_s, _ = metrics.ate_rmse(gt, est_s)
     if ate_s > 0.01:  # staged replay must track identically (parity-tested)
-        return {"odometry_fps": 0.0, "odometry_ate_m": round(float(ate_s), 5)}
+        return {
+            "odometry_fps": 0.0,
+            "odometry_stream_fps": round(stream_fps, 2),  # measured + gated above
+            "odometry_ate_m": round(float(ate_s), 5),
+        }
     return {
         "odometry_fps": round(chip_fps, 2),
         "odometry_stream_fps": round(stream_fps, 2),
@@ -646,7 +650,12 @@ def bench_multiseq():
         ate, _ = metrics.ate_rmse(gts[s], est)
         ates_s.append(float(ate))
     if max(ates_s) > 0.01:
-        return {"multiseq_fps": 0.0, "multiseq_max_ate_m": round(max(ates_s), 5)}
+        return {
+            "multiseq_fps": 0.0,
+            "multiseq_stream_fps": round(stream_fps, 2),  # measured + gated above
+            "multiseq_seqs": S,
+            "multiseq_max_ate_m": round(max(ates_s), 5),
+        }
     return {
         "multiseq_fps": round(fps, 2),
         "multiseq_stream_fps": round(stream_fps, 2),
@@ -763,12 +772,18 @@ def bench_slam():
         file=sys.stderr,
     )
     if ate_staged > 0.01:
-        return {"slam_fps": 0.0, "slam_ate_m": round(float(ate_staged), 5)}
+        return {
+            "slam_fps": 0.0,
+            "slam_stream_fps": round(stream_fps, 2),  # measured above
+            "slam_ate_m": round(float(ate_staged), 5),
+        }
     return {
         "slam_fps": round(slam_fps, 2),
         "slam_stream_fps": round(stream_fps, 2),
         "slam_ate_m": round(float(ate_staged), 5),
-        "odometry_ate_m": round(ate_odo, 5),
+        # mapping-off ATE of the SAME noisy stream (key must not collide
+        # with bench_odometry_fps's odometry_ate_m in main()'s merge)
+        "slam_mapping_off_ate_m": round(ate_odo, 5),
         "slam_fps_vs_realtime_30hz": round(slam_fps / 30.0, 3),
     }
 

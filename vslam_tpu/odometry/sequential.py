@@ -205,7 +205,10 @@ def stage_stream(
     run_staged`. The staged arrays are immutable, so several replays (e.g.
     timed benchmark repetitions) can share one staging pass."""
     it = iter(stream)
-    first = next(it)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError("stream yielded no frames (empty dataset / bad path?)") from None
     t_prev = int(first[0])
     chunks: List[StagedChunk] = []
     buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
@@ -465,14 +468,25 @@ class SequentialOdometry:
         (a TPU VM's local DMA feed sustains the 30 Hz sensor rate; a
         remote-attachment measurement tunnel often cannot). Starts a FRESH
         trajectory from `first` — staged replays are independent, so several
-        timed repetitions can share one staging pass."""
+        timed repetitions can share one staging pass. In mapping mode supply
+        a FRESH backend per replay (the map is the backend's state and
+        accumulates across calls; a reused backend would re-seed frame 0
+        into a window full of the previous replay's keyframes)."""
+        # a prior ABORTED run must not leak into this one: join any in-flight
+        # worker jobs (they mutate the shared map and _C_worker concurrently)
+        # before the correction accumulators reset; their errors were already
+        # surfaced to that run's caller, so swallow the re-raise here
+        while self._backend_futures:
+            try:
+                self._backend_futures.pop(0).result()
+            except Exception:
+                pass
         t_ns, i0, d0 = first
         with timer.scope("seq.init_state"):
             self.state = init_state(i0, d0, self.camera, self.cfg)
         self._t_last_ns = int(t_ns)
         self._C_total = np.eye(4)
         self._C_worker = np.eye(4)
-        self._backend_futures = []  # a prior aborted run must not leak corrections
         out: List[Tuple[int, np.ndarray, np.ndarray]] = [(int(t_ns), np.eye(4), np.eye(6))]
         if self.mapping is not None:
             with timer.scope("seq.first_frame_backend"):
@@ -498,10 +512,15 @@ class SequentialOdometry:
         if sync_mapping and pending is not None:
             self._retire(pending, out)
             pending = None
-        nxt = self._dispatch(buf) if staged is None else self._dispatch_staged(staged)
+        if staged is None:
+            # stage (host pack + upload in the stream's native dtype — see
+            # SequentialConfig.depth_scale) with the SAME code run_staged's
+            # chunks were staged with
+            staged = _stage_chunk(buf, self._t_last_ns, self.chunk)
+        nxt = self._dispatch_staged(staged)
         rec = (
             nxt,
-            list(buf) if staged is None else list(staged.raw),
+            list(staged.raw),
             self._last_staged if self.mapping is not None else None,
             self._C_total.copy(),
             self._last_detect if self.mapping is not None else None,
@@ -576,13 +595,9 @@ class SequentialOdometry:
         while self._backend_futures:
             self._drain_oldest()
 
-    def _dispatch(self, buf):
-        with timer.scope("seq.dispatch"):
-            return self._dispatch_inner(buf)
-
     def _dispatch_staged(self, sc: StagedChunk):
-        """Dispatch a chunk whose images are already on device (run_staged):
-        identical to `_dispatch_inner` minus the host->device staging."""
+        """Dispatch a staged chunk (`_stage_chunk` output — built just-in-time
+        by `_advance` on the streamed path, up front by `stage_stream`)."""
         with timer.scope("seq.dispatch"):
             self._last_staged = (sc.intensity, sc.depth)
             self.state, poses, valid, cov, is_kf = scan_odometry(
@@ -615,44 +630,6 @@ class SequentialOdometry:
                     exc,
                 )
                 self._last_detect = None
-
-    def _dispatch_inner(self, buf):
-        K = self.chunk
-        n = len(buf)
-        H, W = buf[0][1].shape
-        # stage in the stream's native dtype (uint8/uint16 transport is the
-        # point — see SequentialConfig.depth_scale)
-        intensity = np.zeros((K, H, W), np.asarray(buf[0][1]).dtype)
-        depth = np.zeros((K, H, W), np.asarray(buf[0][2]).dtype)
-        dts = np.zeros(K, np.float32)
-        live = np.zeros(K, bool)
-        t_prev = self._t_last_ns
-        stamps = []
-        for j, (t_ns, i, d) in enumerate(buf):
-            intensity[j] = i
-            depth[j] = d
-            dts[j] = (int(t_ns) - t_prev) / 1e9
-            live[j] = True
-            t_prev = int(t_ns)
-            stamps.append(int(t_ns))
-        self._t_last_ns = t_prev
-
-        intensity_dev = jnp.asarray(intensity)
-        depth_dev = jnp.asarray(depth)
-        # keep the staged device arrays: the mapping backend reuses them for
-        # its keyframe frames instead of re-uploading the raw images
-        self._last_staged = (intensity_dev, depth_dev)
-        self.state, poses, valid, cov, is_kf = scan_odometry(
-            self.state,
-            intensity_dev,
-            depth_dev,
-            jnp.asarray(dts),
-            jnp.asarray(live),
-            self.camera,
-            self.cfg,
-        )
-        self._dispatch_detect_early()
-        return stamps, n, poses, cov, is_kf
 
     def _collect(self, stamps, n, poses, cov, is_kf):
         """Blocking fetch of a dispatched chunk's results (f64 conversion +

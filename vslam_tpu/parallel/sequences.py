@@ -300,6 +300,17 @@ class MultiSequenceOdometry:
         return self._run_chunks(firsts, iter(chunks))
 
     def _run_chunks(self, firsts, chunk_iter):
+        # join any in-flight backend jobs from a prior ABORTED run: their
+        # corrections must not fold into this run's fresh states, and they
+        # mutate the per-sequence maps concurrently (errors were already
+        # surfaced to that run's caller)
+        if self._backend_futures:
+            for _s, fut in self._backend_futures:
+                try:
+                    fut.result()
+                except Exception:
+                    pass
+            self._backend_futures = None
         S = len(firsts)
         i0 = np.stack([np.asarray(f[1]) for f in firsts])
         d0 = np.stack([np.asarray(f[2]) for f in firsts])
@@ -424,12 +435,14 @@ class MultiSequenceOdometry:
         were solved before the fold."""
         if not self._backend_futures:
             return states, {}
+        # detach the list FIRST: if a job re-raises, the remaining futures
+        # must not survive into a retry run and fold stale corrections there
+        futures, self._backend_futures = self._backend_futures, None
         deltas = {}
-        for s, fut in self._backend_futures:
+        for s, fut in futures:
             delta = fut.result()
             if delta is not None:
                 deltas[s] = np.asarray(delta, np.float64)
-        self._backend_futures = None
         return self._fold(states, deltas), deltas
 
     def _fold(self, states, deltas):
