@@ -258,6 +258,14 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / 500.0, 3),
+        # methodology version (advisor r3): since r3, the headline sequential
+        # keys (odometry_fps / slam_fps / multiseq_fps / kitti_fps) measure
+        # DEVICE-STAGED replays (zero per-frame uploads — the chip's rate);
+        # the matching *_stream_fps keys are the end-to-end streamed numbers
+        # comparable to r1/r2's same-named keys, and are LINK DIAGNOSTICS on
+        # a remote-attached chip, not gates (accuracy gates still apply to
+        # both). Trend across rounds accordingly.
+        "methodology": "v2-staged-chip-rate",
     }
     result.update(_link_health())
     # sequential single-sequence tracking throughput (fused lax.scan path) is
@@ -742,10 +750,17 @@ def bench_slam():
 
     _, ate_odo = run(None)  # mapping-off baseline (also compiles the scan)
     run(ChunkMappingBackend(enable_ba=True))  # backend warmup
-    # streamed replay (frames cross the host->device link every chunk)
+    # streamed replay (frames cross the host->device link every chunk).
+    # The timed run's ATE is gated too (advisor r3): a regression specific
+    # to the streamed/async path (e.g. a thread-timing race) must zero the
+    # stream number, not hide behind the staged replay's gate.
     t0 = time.perf_counter()
-    run(ChunkMappingBackend(enable_ba=True))
+    _, ate_stream = run(ChunkMappingBackend(enable_ba=True))
     stream_fps = N / (time.perf_counter() - t0)
+    if ate_stream > 0.01:
+        print(f"slam STREAMED accuracy gate FAILED: ATE {ate_stream:.5f} m",
+              file=sys.stderr)
+        stream_fps = 0.0
 
     # device-resident replay: stage once, replay with fresh backends — the
     # chip's sustained SLAM rate once the feed keeps up (the backend's own
@@ -767,8 +782,9 @@ def bench_slam():
     est_s = {t / 1e9: lie_np.inv(p) for t, p, _ in res_staged}
     ate_staged, _ = metrics.ate_rmse(gt, est_s)
     print(
-        f"slam gate: fps {slam_fps:.1f} (stream {stream_fps:.1f}), ATE "
-        f"{ate_staged:.5f} m (mapping-off {ate_odo:.5f} m) over {N} noisy frames",
+        f"slam gate: fps {slam_fps:.1f} (stream {stream_fps:.1f} — link "
+        f"diagnostic, not a gate), ATE {ate_staged:.5f} m (mapping-off "
+        f"{ate_odo:.5f} m) over {N} noisy frames",
         file=sys.stderr,
     )
     if ate_staged > 0.01:

@@ -240,6 +240,12 @@ def test_chunk_batched_tracking_matches_sequential():
     b_seq, err_seq = run("keyframe")
     assert err_chunk < 0.01, err_chunk
     assert err_seq < 0.01, err_seq
+    # trajectory-level parity (advisor r3): the batched cadence's known
+    # divergence — a window landmark re-observed by keyframe i-1 is seen by
+    # keyframe i as both the landmark copy and the raw in-chunk feature, so
+    # the ratio test can reject a true match or triangulate a duplicate —
+    # must not show up as accuracy loss on the mapping trajectory
+    assert err_chunk <= err_seq + 0.002, (err_chunk, err_seq)
     assert b_chunk.n_landmarks > 0 and b_seq.n_landmarks > 0
     # same physical scene, same detector output -> the two cadences must
     # triangulate comparable landmark sets (the batched path only changes

@@ -397,6 +397,22 @@ class SequentialOdometry:
         # can land between a chunk's dispatch and its backend submission).
         self._C_total: np.ndarray = np.eye(4)
 
+    def _join_stale_futures(self) -> None:
+        """Join worker jobs left in flight by a prior ABORTED run (exception /
+        KeyboardInterrupt mid-replay): they mutate the shared map and
+        `_C_worker` concurrently, so they must finish before a new run resets
+        the correction accumulators. A normally-completed run drains its own
+        futures, so anything here means the prior run never surfaced these
+        jobs' outcomes — log their errors instead of re-raising into the NEW
+        run's caller (advisor r3: silent `pass` hid genuinely-unseen errors)."""
+        log = get_logger("sequential")
+        while self._backend_futures:
+            try:
+                self._backend_futures.pop(0).result()
+            except Exception as exc:
+                log.warning("stale backend job from an aborted prior run "
+                            "failed: %s", exc)
+
     def _apply_correction(self, delta: np.ndarray) -> None:
         """Left-compose a world-frame correction (from BA / loop closure)
         onto the device pose chain before the next chunk runs."""
@@ -430,6 +446,7 @@ class SequentialOdometry:
         Synchronous mapping (`async_mapping=False`) trades the pipelining
         away so every correction reaches the device state before the next
         chunk runs — the reference-cadence parity mode."""
+        self._join_stale_futures()
         out: List[Tuple[int, np.ndarray, np.ndarray]] = []
         buf: List[Tuple[int, np.ndarray, np.ndarray]] = []
         pending = None
@@ -472,15 +489,7 @@ class SequentialOdometry:
         a FRESH backend per replay (the map is the backend's state and
         accumulates across calls; a reused backend would re-seed frame 0
         into a window full of the previous replay's keyframes)."""
-        # a prior ABORTED run must not leak into this one: join any in-flight
-        # worker jobs (they mutate the shared map and _C_worker concurrently)
-        # before the correction accumulators reset; their errors were already
-        # surfaced to that run's caller, so swallow the re-raise here
-        while self._backend_futures:
-            try:
-                self._backend_futures.pop(0).result()
-            except Exception:
-                pass
+        self._join_stale_futures()
         t_ns, i0, d0 = first
         with timer.scope("seq.init_state"):
             self.state = init_state(i0, d0, self.camera, self.cfg)
