@@ -367,3 +367,41 @@ def test_cli_odometry_with_reference_yaml(mini_dataset, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["ate_rmse_m"] < 0.02, res
+
+
+def test_cli_reproduce_dry_run(mini_dataset, tmp_path, capsys):
+    """`vslam-run reproduce` — the one-command readiness artifact for the
+    real fr2_desk replication (VERDICT r3 item 3): replay + OPTION-EXACT
+    reference RPE (--fixed_delta --delta_unit s) + ATE protocols + pass/fail
+    against the published budgets, dry-run on the mini TUM fixture. The
+    sequence spans 0.37 s so the 1 s fixed-delta RPE protocol yields no
+    pairs on it; the ATE budget is the meaningful pass/fail check here (on
+    the real 99 s sequence both bind)."""
+    out = str(tmp_path / "repro.txt")
+    rc = cli_main(
+        [
+            "reproduce",
+            "--dataset", str(mini_dataset),
+            "--out", out,
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0, res
+    assert res["pass"] is True
+    assert res["ate_rmse_m"] < 0.02, res
+    assert os.path.exists(out)
+    assert res["rpe_budget_m"] == 0.036 and res["ate_budget_m"] == 0.21
+
+    # regression must FAIL loudly (exit 1): rerun with an impossible budget
+    rc = cli_main(
+        [
+            "reproduce",
+            "--dataset", str(mini_dataset),
+            "--out", out,
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+            "--ate-budget", "1e-9",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and res["pass"] is False

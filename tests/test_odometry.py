@@ -78,6 +78,32 @@ def test_per_frame_error(tracked):
     assert np.mean(errs) < 0.025, f"mean pose error {np.mean(errs)}"
 
 
+def test_pipelined_matches_strict_loop(tracked):
+    """OdometryPipeline.run's software-pipelined schedule (device-side
+    prediction, fetch of frame i overlapped with frame i+1's dispatch) must
+    track the same trajectory as the strict one-frame-at-a-time loop. Not
+    bit-identical — the pipelined chain composes poses on device in f32
+    (like the fused scan) while the strict loop composes on host in f64 —
+    but the keyframe cadence is identical and per-frame poses agree to well
+    under the accuracy budget."""
+    poses, traj_pipelined = tracked  # module fixture runs the pipelined path
+    cfg = PipelineConfig(
+        features_min_gradient=10.0,
+        solver_max_iterations=50,
+        solver_min_step_size=1e-7,
+        keyframe_selection_idx_period=5,
+        prediction_model="ConstantMotion",
+    )
+    pipeline = OdometryPipeline(Camera.create(FX, FY, CX, CY), cfg)
+    assert pipeline._pipelined_eligible()
+    traj_strict = pipeline.run(stream(poses), pipelined=False)
+    assert len(traj_strict) == len(traj_pipelined) == N_FRAMES
+    for t_ns, p_strict in traj_strict.items():
+        p_pipe = traj_pipelined.pose_at(t_ns)
+        d = np.linalg.norm(lie_np.log(lie_np.relative(p_strict, p_pipe)))
+        assert d < 2e-3, (t_ns, d)
+
+
 def test_fallback_on_bad_frame():
     """A textureless (information-free) frame mid-sequence must not crash the
     pipeline; it falls back to the motion prediction (Odometry.cpp:52-56)."""

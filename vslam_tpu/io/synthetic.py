@@ -240,6 +240,32 @@ def degrade(
     return out_i, np.maximum(out_d, 0.0).astype(np.float32)
 
 
+def loop_trajectory(
+    n_frames: int,
+    extent: float = 0.8,
+    height: float = 0.15,
+    yaw: float = 0.25,
+    seed: int = 3,
+) -> list:
+    """Out-and-back loop: the camera leaves the start pose, sweeps sideways
+    with a height bob and a yaw toward the sweep, and returns EXACTLY to the
+    start pose (poses[-1] == poses[0] == I) — the canonical loop-closure
+    scenario (the final view revisits the first keyframe's place). The twist
+    profile is smooth (sin ramps), so constant-motion prediction stays valid
+    frame to frame."""
+    poses = []
+    for i in range(n_frames):
+        u = i / max(n_frames - 1, 1)
+        s = np.sin(np.pi * u)  # 0 -> 1 -> 0
+        c = np.sin(2 * np.pi * u)  # signed sweep (out positive, back negative)
+        xi = np.zeros(6)
+        xi[0] = extent * s
+        xi[1] = height * c
+        xi[4] = yaw * s
+        poses.append(lie_np.exp(xi))
+    return poses
+
+
 def smooth_trajectory(
     n_frames: int,
     dt: float = 1.0 / 30.0,

@@ -30,6 +30,7 @@ class PoseGraphBackend:
         self.db = KeyframeDatabase(cfg)
         self.kf_ids: List[int] = []
         self.kf_poses: Dict[int, np.ndarray] = {}  # id -> world->cam 4x4
+        self.kf_stamps: Dict[int, int] = {}  # id -> t_ns (trajectory anchoring)
         self.edges: List[Tuple[int, int, np.ndarray, np.ndarray]] = []  # (i, j, rel, info)
         self.n_closures = 0
         self._odo_info = np.eye(6) * odo_info_scale
@@ -44,7 +45,20 @@ class PoseGraphBackend:
             self.edges.append((prev, frame.id, rel, self._odo_info.copy()))
         self.kf_ids.append(frame.id)
         self.kf_poses[frame.id] = np.asarray(frame.pose, np.float64).copy()
+        self.kf_stamps[frame.id] = int(frame.t_ns)
         self.db.add(frame)
+
+    def keyframe_trajectory(self) -> List[Tuple[int, np.ndarray]]:
+        """(t_ns, pose world->cam 4x4) of every registered keyframe, sorted
+        by timestamp — the graph's CURRENT belief, i.e. after every pose-
+        graph optimization and external write-back so far. This is the
+        anchor set for re-writing a full odometry trajectory after loop
+        closures (`sequential_mapping.anchor_trajectory`): the reference has
+        no global-relaxation equivalent (its backend stops at windowed BA)."""
+        return sorted(
+            ((self.kf_stamps[fid], self.kf_poses[fid]) for fid in self.kf_ids),
+            key=lambda x: x[0],
+        )
 
     def try_close(self, frame) -> Optional[Dict[int, np.ndarray]]:
         """Attempt loop closure at this keyframe. On success, optimizes the

@@ -31,7 +31,47 @@ from ..utils import timer
 from ..utils.log import get_logger
 from .map import HostFrame, Map
 
-__all__ = ["ChunkMappingBackend"]
+__all__ = ["ChunkMappingBackend", "anchor_trajectory"]
+
+
+def anchor_trajectory(
+    results: List[Tuple[int, np.ndarray, np.ndarray]],
+    kf_trajectory: List[Tuple[int, np.ndarray]],
+) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+    """Re-anchor a full odometry trajectory onto globally-optimized keyframe
+    poses (the post-loop-closure output trajectory, what a TUM evaluation
+    scores).
+
+    The online output (`SequentialOdometry.run`) holds per-frame odometry
+    poses; corrections fold into the DEVICE chain when they land, so frames
+    solved BEFORE a closure keep their drifted history. After the run, each
+    frame is rewritten relative to the latest keyframe at-or-before it:
+    ``T' = T_kf_final @ inv(T_kf_output) @ T`` — exact for keyframes, and
+    intermediate frames keep their odometry-relative motion (the standard
+    post-optimization trajectory assembly; the reference's backend stops at
+    windowed BA, NodeMapping.cpp:162-170, so it has no equivalent).
+
+    ``kf_trajectory``: (t_ns, final pose) per keyframe, sorted (e.g.
+    `PoseGraphBackend.keyframe_trajectory`). Keyframe stamps must exist in
+    ``results`` (they are output frames); unknown stamps are skipped."""
+    if not kf_trajectory:
+        return results
+    out_by_t = {int(t): np.asarray(T, np.float64) for t, T, _ in results}
+    anchors: List[Tuple[int, np.ndarray]] = []
+    for t_kf, T_final in kf_trajectory:
+        T_out = out_by_t.get(int(t_kf))
+        if T_out is None:
+            continue
+        anchors.append((int(t_kf), np.asarray(T_final, np.float64) @ lie_np.inv(T_out)))
+    if not anchors:
+        return results
+    anchor_ts = np.asarray([a[0] for a in anchors], np.int64)
+    corrected = []
+    for t_ns, T, cov in results:
+        k = int(np.searchsorted(anchor_ts, int(t_ns), side="right")) - 1
+        delta = anchors[k][1] if k >= 0 else np.eye(4)
+        corrected.append((t_ns, delta @ np.asarray(T, np.float64), cov))
+    return corrected
 
 
 @functools.partial(
@@ -130,6 +170,10 @@ class ChunkMappingBackend:
         ba_schedule: str = "chunk",  # "chunk" | "keyframe"
         track_schedule: str = "chunk",  # "chunk" | "keyframe"
         compute_device: str = "auto",  # "auto" | "cpu" | "default"
+        tracking=None,  # FeatureTracking override (detector tuning — e.g. a
+        # smaller NMS grid_cell for sub-VGA frames, where the default 30 px
+        # cell caps detection at a few dozen keypoints)
+        loop_closure_cfg=None,  # features.loop_closure.LoopClosureConfig
     ):
         from ..features.tracking import FeatureTracking
 
@@ -176,7 +220,7 @@ class ChunkMappingBackend:
         self.pose_write_back = pose_write_back
         self.min_correction = float(min_correction)
         self.map = Map()
-        self._tracking = FeatureTracking()
+        self._tracking = tracking if tracking is not None else FeatureTracking()
         self._ba = None
         self._graph = None
         if enable_ba:
@@ -190,7 +234,11 @@ class ChunkMappingBackend:
         if enable_loop_closure:
             from .graph_backend import PoseGraphBackend
 
-            self._graph = PoseGraphBackend()
+            self._graph = (
+                PoseGraphBackend(loop_closure_cfg)
+                if loop_closure_cfg is not None
+                else PoseGraphBackend()
+            )
         self._log = get_logger("mapping")
         self._cam_host: Optional[Camera] = None  # host-scalar intrinsics cache
         # compute_device: where the backend's SMALL-matrix programs (match,
@@ -233,6 +281,20 @@ class ChunkMappingBackend:
     @property
     def n_landmarks(self) -> int:
         return len(self.map.points())
+
+    @property
+    def n_closures(self) -> int:
+        return self._graph.n_closures if self._graph is not None else 0
+
+    def corrected_trajectory(
+        self, results: List[Tuple[int, np.ndarray, np.ndarray]]
+    ) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+        """Post-run trajectory assembly: re-anchor the odometry output onto
+        the pose graph's globally-optimized keyframe poses (no-op without a
+        loop-closure graph — see `anchor_trajectory`)."""
+        if self._graph is None:
+            return results
+        return anchor_trajectory(results, self._graph.keyframe_trajectory())
 
     def _ba_sane(self, poses, max_translation: float = 0.3, max_rotation: float = 0.3) -> bool:
         """BA write-back gate (mirrors pipeline._ba_sane / round-1 semantics):
