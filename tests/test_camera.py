@@ -1,6 +1,9 @@
 """Camera tests mirroring reference `test_camera.cpp` (round-trip projection)."""
 
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
 import numpy as np
 
 from vslam_tpu.core import camera as cam

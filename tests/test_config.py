@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
+
 from vslam_tpu.config import PipelineConfig, load_yaml_config
 
 REF_YAML = "/root/reference/config/NodeMapping.yaml"

@@ -4,6 +4,8 @@ reference's TUM scripts as the system-level oracle)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
+
 from vslam_tpu.core import lie_np
 from vslam_tpu.eval import metrics
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
+
 from vslam_tpu.core import lie_np, se3
 from vslam_tpu.kalman import ekf_se3, filter as kf
 

@@ -104,6 +104,7 @@ def test_pipelined_matches_strict_loop(tracked):
         assert d < 2e-3, (t_ns, d)
 
 
+@pytest.mark.quick  # the quick tier's one e2e smoke (full pipeline, 8 frames)
 def test_fallback_on_bad_frame():
     """A textureless (information-free) frame mid-sequence must not crash the
     pipeline; it falls back to the motion prediction (Odometry.cpp:52-56)."""

@@ -22,9 +22,12 @@ from vslam_tpu.io import tum
 
 REF_SCRIPT = "/root/reference/script/vslam_evaluation/tum/evaluate_rpe.py"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isfile(REF_SCRIPT), reason="reference evaluate_rpe.py not present"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isfile(REF_SCRIPT), reason="reference evaluate_rpe.py not present"
+    ),
+    pytest.mark.quick,  # <5-min iteration tier (see pyproject)
+]
 
 
 def _make_trajectories(n=120, seed=3):

@@ -7,6 +7,8 @@ ordering [rho; phi], exp/log roundtrips, adjoint, relative transforms).
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
 from scipy.spatial.transform import Rotation
 
 from vslam_tpu.core import se3

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min iteration tier (see pyproject)
+
 from vslam_tpu.solvers import (
     LossConfig,
     SolverConfig,
