@@ -251,6 +251,7 @@ def main():
     slam = _guard("slam", "BENCH_SLAM", bench_slam)
     multiseq = _guard("multiseq", "BENCH_MULTISEQ", bench_multiseq)
     kitti = _guard("kitti", "BENCH_KITTI", bench_kitti)
+    kitti_loop = _guard("kitti_loop", "BENCH_KITTI_LOOP", bench_kitti_loop)
     real = _guard("real", "BENCH_REAL", bench_real)
     host = _guard("host", "BENCH_HOST", bench_host)
 
@@ -272,7 +273,8 @@ def main():
     # sequential single-sequence tracking throughput (fused lax.scan path) is
     # reported alongside the headline batched metric; the reference replays
     # in real time at 30 Hz (NodeReplayer.cpp:116-118)
-    for sub in (odometry_fps, slam_drift, multiseq, slam, kitti, real, host):
+    for sub in (odometry_fps, slam_drift, multiseq, slam, kitti, kitti_loop,
+                real, host):
         if sub is not None:
             result.update(sub)
     print(json.dumps(result))
@@ -1025,6 +1027,123 @@ def bench_kitti():
         "kitti_stream_fps": round(stream_fps, 2),
         "kitti_ate_m": round(float(ate), 4),
         "kitti_fps_vs_realtime_10hz": round(chip_fps / 10.0, 3),
+    }
+
+
+def bench_kitti_loop():
+    """Long-horizon KITTI loop-closure gate (VERDICT r3 item 5): a 256-frame
+    out-and-back street-scale loop at full KITTI geometry (1241x376 stereo,
+    seq-00 intrinsics/baseline, 10 Hz), tracked by the fused stereo scan;
+    the SLAM backend (windowed BA + loop-closure pose graph + trajectory
+    anchoring) must measurably cut the accumulated drift. The reference
+    lists KITTI in its README benchmark table but never filled the row
+    (/root/reference/README.md:14) — this measures the row AND the backend's
+    value at KITTI scale. Scene: street-scale BoxScene (patches pushed to
+    6-10.5 m, background 12.5 m), rendered ON DEVICE
+    (synthetic.render_boxes_batch — the host path costs ~2.5 s/frame at this
+    resolution on one CPU). Gate: closures fired AND corrected ATE <
+    0.6x mapping-off ATE over >= 256 frames."""
+    import jax
+
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.eval import metrics
+    from vslam_tpu.features.loop_closure import LoopClosureConfig
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.odometry.sequential_mapping import ChunkMappingBackend
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W = 376, 1241
+    FX, FY, CX, CY, BASE = 718.856, 718.856, 607.1928, 185.2157, 0.5372
+    N = int(os.environ.get("BENCH_KITTI_LOOP_FRAMES", "256"))
+    CHUNK = int(os.environ.get("BENCH_KITTI_CHUNK", "16"))
+    SCALE = 5.0
+    K = synthetic.camera_matrix(FX, FY, CX, CY)
+    cam = Camera.create(FX, FY, CX, CY)
+    scene = synthetic.BoxScene(
+        seed=4, scale=SCALE,
+        background=synthetic.PlaneScene(
+            normal=(0.0, -0.25, 1.0), d=2.5 * SCALE,
+            origin=(0.0, 0.0, 2.5 * SCALE), n_waves=12,
+        ),
+    )
+    poses = synthetic.loop_trajectory(N, extent=3.0, height=0.3, yaw=0.25)
+    dt_ns = int(1e9 / 10)
+    right_off = np.eye(4)
+    right_off[:3, 3] = [-BASE, 0.0, 0.0]
+
+    t0 = time.perf_counter()
+    all_poses = list(poses) + [right_off @ p for p in poses]
+    inten_all, _ = synthetic.render_boxes_batch(
+        K, all_poses, (H, W), scene, batch=8, with_depth=False
+    )
+    inten_all = np.clip(np.round(inten_all), 0, 255).astype(np.uint8)
+    stream = [
+        (i * dt_ns, inten_all[i], inten_all[N + i]) for i in range(N)
+    ]
+    del inten_all
+    print(f"kitti loop: rendered {N} stereo pairs on device in "
+          f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            # IDENTICAL config to bench_kitti so the fused scan program is a
+            # jit/persistent-cache HIT (the Huber variant of this scan
+            # cold-compiles in >19 min at KITTI resolution — measured — and
+            # buys nothing here: the occluding patch boundaries drive drift
+            # under every loss, which is exactly what the gate needs)
+            min_gradient=20.0,
+            solver=SolverConfig(max_iterations=100, min_step_size=1e-11,
+                                min_relative_reduction=1e-4),
+            include_prior=True,
+            interpolation="bilinear",
+            sampler=os.environ.get("BENCH_SAMPLER", "fused_gn"),
+            image_dtype=os.environ.get("BENCH_IMG_DTYPE", "bfloat16"),
+            max_points=int(os.environ.get("BENCH_POINTS", "2048")),
+        ),
+        n_levels=4,
+        kf_period=5,
+        stereo_baseline=BASE,
+        stereo_max_disparity=96,
+    )
+    gt = {i * dt_ns / 1e9: lie_np.inv(p) for i, p in enumerate(poses)}
+
+    def ate_of(res):
+        est = {t / 1e9: lie_np.inv(p) for t, p, _ in res}
+        a, _ = metrics.ate_rmse(gt, est, max_difference=0.05)
+        return float(a)
+
+    odo = SequentialOdometry(cam, cfg, chunk=CHUNK)
+    ate_off = ate_of(odo.run(iter(stream)))
+
+    backend = ChunkMappingBackend(
+        enable_ba=True, enable_loop_closure=True,
+        loop_closure_cfg=LoopClosureConfig(min_gap=6, min_matches=10, min_inliers=8),
+    )
+    odo = SequentialOdometry(cam, cfg, chunk=CHUNK, mapping=backend)
+    results = odo.run(iter(stream))
+    ate_online = ate_of(results)
+    ate_corr = ate_of(backend.corrected_trajectory(results))
+    win = (
+        backend.n_closures >= 1
+        and ate_off > 0.05  # the scenario must actually drift at street scale
+        and ate_corr < 0.6 * ate_off
+    )
+    print(
+        f"kitti loop gate: mapping-off ATE {ate_off:.4f} m -> slam corrected "
+        f"{ate_corr:.4f} m (online {ate_online:.4f}, {backend.n_closures} "
+        f"closures) over {N} frames at {W}x{H} — {'WIN' if win else 'FAILED'}",
+        file=sys.stderr,
+    )
+    return {
+        "kitti_loop_odo_ate_m": round(ate_off, 4),
+        "kitti_loop_ate_m": round(ate_corr, 4),
+        "kitti_loop_online_ate_m": round(ate_online, 4),
+        "kitti_loop_closures": int(backend.n_closures),
+        "kitti_loop_frames": N,
+        "kitti_loop_win": bool(win),
     }
 
 

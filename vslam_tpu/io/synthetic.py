@@ -15,7 +15,7 @@ pixel ray with the plane, evaluate the texture at the hit point.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -122,6 +122,12 @@ class BoxScene:
     seed: int = 11
     n_patches: int = 6
     background: PlaneScene = PlaneScene(d=2.5, origin=(0.0, 0.0, 2.5))
+    # world-unit multiplier on patch placement/extent: scale=1 is the room
+    # layout (patches 1.2-2.1 m ahead); scale=5 with a d=12.5 background is
+    # a street-depth layout for KITTI-geometry scenes — texture wavelengths
+    # are left in absolute units (4-60 cm) so the pixel footprint stays
+    # resolvable at the scaled distance through KITTI focal lengths
+    scale: float = 1.0
 
 
 def _patch_params(scene: BoxScene):
@@ -138,7 +144,7 @@ def _patch_params(scene: BoxScene):
         e2 = np.cross(n, e1)
         half = rng.uniform(0.15, 0.45, size=2)
         tex = PlaneScene(seed=scene.seed * 101 + k, n_waves=10, amplitude=80.0)
-        patches.append((c, n, e1, e2, half, tex))
+        patches.append((c * scene.scale, n, e1, e2, half * scene.scale, tex))
     return patches
 
 
@@ -181,6 +187,112 @@ def render_boxes(
         zbuf = np.where(hit, z, zbuf)
     depth = np.where(np.isfinite(zbuf), zbuf, 0.0)
     return intensity.astype(np.float32), depth.astype(np.float32)
+
+
+def render_boxes_batch(
+    K: np.ndarray,
+    poses,  # sequence of (4, 4) world->camera poses
+    shape: Tuple[int, int],
+    scene: BoxScene = BoxScene(),
+    batch: int = 16,
+    with_depth: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Device-batched :func:`render_boxes`: renders B poses per jitted
+    dispatch on the accelerator and returns (intensity (N, H, W) f32,
+    depth (N, H, W) f32) as host arrays.
+
+    The host renderer costs ~2.5 s/frame at KITTI resolution (full-frame
+    float64 sinusoid sums per surface, one CPU); the closed-form math is
+    trivially data-parallel, so long-horizon benchmark sequences render it
+    on the chip instead — same scene definition, parity-tested against the
+    numpy path (tests/test_synthetic_device.py). `batch` bounds the device
+    working set (B*H*W f32 temporaries per surface pass). `with_depth=False`
+    skips fetching the depth buffer (returns (intensity, None)) — on a
+    remote-attached chip the D2H transfer is the cost, and stereo sequences
+    only need intensity."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = shape
+    Kinv = np.linalg.inv(K)
+
+    # gather every surface's plane + texture params once on host:
+    # background first, then the z-buffered patches in _patch_params order
+    def tex_of(p: PlaneScene):
+        freqs, phases, amps = _texture_params(p)
+        return freqs, phases, amps, p.base_intensity
+
+    bg = scene.background
+    n_bg = np.asarray(bg.normal, float)
+    n_bg = n_bg / np.linalg.norm(n_bg)
+    surfaces = [
+        dict(n=n_bg, point=np.asarray(bg.origin, float), d=float(bg.d),
+             origin=np.asarray(bg.origin, float), e1=np.asarray(bg.e1, float),
+             e2=np.asarray(bg.e2, float), half=None, tex=tex_of(bg)),
+    ]
+    for c, n, e1, e2, half, tex in _patch_params(scene):
+        surfaces.append(dict(n=n, point=c, d=float(np.dot(n, c)), origin=c,
+                             e1=e1, e2=e2, half=half, tex=tex_of(tex)))
+
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    rays_cam = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ Kinv.T.astype(np.float32)
+
+    def render_one(R_wc, o):  # traced per frame (vmapped over B)
+        rays = rays_cam_d @ R_wc.T  # (H, W, 3) world rays
+        inten = jnp.zeros((H, W), jnp.float32)
+        zbuf = jnp.full((H, W), jnp.inf, jnp.float32)
+        for s in surfaces:
+            n = jnp.asarray(s["n"], jnp.float32)
+            denom = rays @ n
+            numer = s["d"] - o @ n
+            z = numer / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+            hit = (z > 0.05) & (jnp.abs(denom) > 1e-12)
+            X = o[None, None, :] + jnp.where(hit, z, 0.0)[..., None] * rays
+            rel = X - jnp.asarray(s["origin"], jnp.float32)
+            a = rel @ jnp.asarray(s["e1"], jnp.float32)
+            b = rel @ jnp.asarray(s["e2"], jnp.float32)
+            if s["half"] is not None:
+                hit = hit & (jnp.abs(a) < s["half"][0]) & (jnp.abs(b) < s["half"][1])
+                hit = hit & (z < zbuf)
+            freqs, phases, amps, base = s["tex"]
+            t = jnp.float32(base)
+            for k in range(len(amps)):
+                t = t + np.float32(amps[k]) * jnp.sin(
+                    np.float32(freqs[k, 0]) * a + np.float32(phases[k, 0])
+                ) * jnp.cos(np.float32(freqs[k, 1]) * b + np.float32(phases[k, 1]))
+            t = jnp.clip(t, 0.0, 255.0)
+            if s["half"] is None:  # background initializes both buffers
+                inten = jnp.where(hit, t, 0.0)
+                zbuf = jnp.where(hit, z, jnp.inf)
+            else:
+                inten = jnp.where(hit, t, inten)
+                zbuf = jnp.where(hit, z, zbuf)
+        depth = jnp.where(jnp.isfinite(zbuf), zbuf, 0.0)
+        return inten, depth
+
+    @jax.jit
+    def render_batch(R_wc, o):  # (B, 3, 3), (B, 3)
+        return jax.vmap(render_one)(R_wc, o)
+
+    rays_cam_d = jnp.asarray(rays_cam)
+    T_cw = np.stack([lie_np.inv(p) for p in poses]).astype(np.float32)
+    R_all, o_all = T_cw[:, :3, :3], T_cw[:, :3, 3]
+    N = len(poses)
+    outs_i, outs_d = [], []
+    for s0 in range(0, N, batch):
+        b = min(batch, N - s0)
+        R_b, o_b = R_all[s0 : s0 + b], o_all[s0 : s0 + b]
+        if b < batch:  # pad to the compiled batch shape
+            R_b = np.concatenate([R_b, np.repeat(R_b[-1:], batch - b, 0)])
+            o_b = np.concatenate([o_b, np.repeat(o_b[-1:], batch - b, 0)])
+        out = render_batch(jnp.asarray(R_b), jnp.asarray(o_b))
+        if with_depth:
+            inten, depth = jax.device_get(out)
+            outs_d.append(depth[:b])
+        else:  # fetch intensity only — depth never crosses the link
+            inten = jax.device_get(out[0])
+        outs_i.append(inten[:b])
+    return np.concatenate(outs_i), (np.concatenate(outs_d) if with_depth else None)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,6 +107,20 @@ def _chain_step_jit(
     return frame, cur_data, pose_new, cov, ok, speed_new
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_levels", "depth_scale")
+)
+def _build_frame_jit(intensity, depth, camera, cfg, n_levels: int, depth_scale: float):
+    """Frame build + alignment precompute fused into ONE dispatch. Module
+    level ON PURPOSE: jitted per-instance closures give every new
+    OdometryPipeline a cold jit cache — measured 6.6 s of recompilation on a
+    fresh pipeline's first frame at 480x640 (the whole difference between 4
+    and ~20 fps in a timed replay that constructs its own pipeline)."""
+    intensity, depth = _sensor_to_f32(intensity, depth, depth_scale)
+    frame = create_frame(intensity, depth, camera, n_levels=n_levels)
+    return frame, _ic.precompute_frame(frame, cfg)
+
+
 class OdometryPipeline:
     """Streaming odometry: feed (t_ns, intensity, depth) tuples, collect a
     trajectory. Set `cfg.enable_mapping` for the full SLAM backend."""
@@ -131,28 +145,7 @@ class OdometryPipeline:
             max_translation=cfg.keyframe_selection_max_translation,
         )
         self.trajectory = Trajectory()
-        import functools
-
-        align_cfg = cfg.alignment_config()
-
-        def _build(intensity, depth, camera):
-            # frame build + alignment precompute fused into ONE dispatch:
-            # unjitted, the ~30 pyramid/Sobel ops each pay a device-dispatch
-            # round trip (~100 ms/frame on a remote-attached chip vs ~4 ms
-            # fused); the precompute is cached on the HostFrame and reused
-            # whenever this frame serves as an alignment reference.
-            from ..alignment import ic as _ic
-
-            # native-dtype transport: u8/u16 frames convert on device (shared
-            # definition with the fused step — core.frame.sensor_to_f32)
-            from ..core.frame import sensor_to_f32 as _sensor_to_f32
-
-            intensity, depth = _sensor_to_f32(intensity, depth, cfg.depth_scale)
-            frame = create_frame(intensity, depth, camera, n_levels=cfg.pyramid_levels)
-            return frame, _ic.precompute_frame(frame, align_cfg)
-
-        self._create_frame_jit = jax.jit(_build)
-        self._align_cfg = align_cfg  # hashable jit key, built once
+        self._align_cfg = cfg.alignment_config()  # hashable jit key, built once
         self._log = get_logger("odometry")
         # enable visual-log sinks requested by the config (the reference
         # wires log.image/plot show flags at node startup,
@@ -221,10 +214,13 @@ class OdometryPipeline:
                 # one jitted dispatch: unjitted, the ~30 pyramid/Sobel ops
                 # each pay a device-dispatch round trip (~100 ms/frame on a
                 # remote-attached chip vs ~4 ms fused)
-                device_frame, level_data = self._create_frame_jit(
+                device_frame, level_data = _build_frame_jit(
                     jnp.asarray(intensity),
                     jnp.asarray(depth),
                     self.camera,
+                    self._align_cfg,
+                    self.cfg.pyramid_levels,
+                    self.cfg.depth_scale,
                 )
             frame = HostFrame(
                 frame=device_frame, t_ns=int(t_ns), pose=pred, level_data=level_data
@@ -358,36 +354,22 @@ class OdometryPipeline:
             and not sinks_on
         )
 
-    def _run_pipelined(self, stream) -> Trajectory:
-        """Depth-1 software pipeline over the per-frame loop: dispatch frame
-        i+1 (device-side prediction, `_chain_step_jit`), THEN retire frame i
-        (blocking scalar fetch + host bookkeeping) while i+1's program owns
-        the device. The replayer lock-step semantics are preserved — frames
-        are consumed strictly in order and every frame still produces its
-        pose before the run returns; only the retirement lags dispatch by
-        one frame (the reference's replayer thread similarly stages the next
-        message while the node processes the current one)."""
-        import concurrent.futures
-
+    def _run_pipelined(self, stream, retire_depth: int = 4) -> Trajectory:
+        """Software pipeline over the per-frame loop: dispatch each frame's
+        whole update without blocking (device-side prediction,
+        `_chain_step_jit`), and retire the pending frames' scalar results in
+        BATCHES of `retire_depth` — one device_get round trip per batch
+        instead of one per frame. On a remote-attached chip whose client
+        serializes RPCs on one channel, the per-frame link cost then drops
+        from (upload + fetch RTT) to (upload + RTT/retire_depth). Frames are
+        still consumed strictly in order and every frame produces its pose
+        before the run returns; host bookkeeping (map/trajectory/prediction
+        mirrors) lags dispatch by at most retire_depth frames, which is
+        invisible to the eligible configs (idx keyframes, device prediction —
+        nothing on the dispatch path reads the host mirrors)."""
         it = device_prefetch(stream, depth=2)
-        pending = None
+        pending: list = []
         self._prev_retired: Optional[HostFrame] = None
-        # dedicated fetcher: the blocking device_get of frame i's scalars is
-        # submitted at DISPATCH time and runs concurrently with the uploader
-        # thread and frame i+1's dispatch — on a remote-attached chip the
-        # fetch RPC's round trip otherwise sits on the per-frame critical
-        # path (it only completes once the program finishes, so this thread
-        # is idle-waiting, not stealing compute)
-        self._fetcher = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="d2h-fetch"
-        )
-        try:
-            return self._run_pipelined_loop(it, pending)
-        finally:
-            self._fetcher.shutdown(wait=False)
-            self._fetcher = None
-
-    def _run_pipelined_loop(self, it, pending) -> Trajectory:
         for t_ns, inten, depth in it:
             if self.map.last_frame() is None:
                 # first frame initializes chain + map via the standard path
@@ -409,13 +391,23 @@ class OdometryPipeline:
                 }
                 self._prev_retired = f0
                 continue
-            rec = self._dispatch_chain(t_ns, inten, depth)
-            if pending is not None:
-                self._retire_chain(pending)
-            pending = rec
-        if pending is not None:
-            self._retire_chain(pending)
+            pending.append(self._dispatch_chain(t_ns, inten, depth))
+            if len(pending) >= retire_depth:
+                self._retire_batch(pending)
+                pending = []
+        if pending:
+            self._retire_batch(pending)
         return self.trajectory
+
+    def _retire_batch(self, recs: list) -> None:
+        """ONE blocking fetch for a batch of dispatched frames' scalars, then
+        in-order host bookkeeping for each."""
+        with timer.scope("pipeline.retire"):
+            fetched = jax.device_get(
+                [(p.R, p.t, cov, ok) for _, p, cov, ok, _ in recs]
+            )
+        for (hf, _, _, _, is_kf), (R, t, cov_h, ok_h) in zip(recs, fetched):
+            self._retire_chain((hf, R, t, cov_h, ok_h, is_kf))
 
     def _dispatch_chain(self, t_ns: int, inten, depth):
         pl = self._pl
@@ -449,15 +441,10 @@ class OdometryPipeline:
                   t_last=int(t_ns))
         if is_kf:
             pl.update(kf_data=cur_data, pose_kf=pose_new)
-        fetch = self._fetcher.submit(
-            jax.device_get, (pose_new.R, pose_new.t, cov, ok)
-        )
-        return (hf, fetch, is_kf)
+        return (hf, pose_new, cov, ok, is_kf)
 
     def _retire_chain(self, rec) -> None:
-        hf, fetch, is_kf = rec
-        with timer.scope("pipeline.retire"):
-            R, t, cov_h, ok_h = fetch.result()
+        hf, R, t, cov_h, ok_h, is_kf = rec
         T = np.eye(4)
         u, _, vt = np.linalg.svd(np.asarray(R, np.float64))
         T[:3, :3] = u @ vt
@@ -476,34 +463,23 @@ class OdometryPipeline:
 def device_prefetch(
     stream: Iterable[Tuple[int, np.ndarray, np.ndarray]], depth: int = 2
 ) -> Iterable[Tuple[int, jnp.ndarray, jnp.ndarray]]:
-    """Stage frames on device ahead of the consumer, from a dedicated
-    uploader THREAD.
+    """Stage frames on device ahead of the consumer.
 
-    `jax.device_put` is nominally asynchronous, but on a remote-attached
-    chip the H2D transfer RPC serializes with the caller's other device
-    RPCs — measured on the host-parity gate, an inline device_put spends
-    ~45 ms/frame of the consumer's own loop time at 480x640. A single
-    uploader thread moves that wait off the consumer: the transfer of frame
-    i+depth overlaps the solve/fetch of frame i, and the bounded queue
-    preserves the NodeReplayer/Queue lock-step semantics (frames consumed
-    strictly in order, just staged early)."""
+    `jax.device_put` is asynchronous on a local device, so frame i+depth
+    crosses the host->device link while the pipeline is still solving frame
+    i. (On the remote-attached measurement chip the client serializes its
+    RPCs on one channel — an uploader THREAD was tried and measured 2.5x
+    WORSE than inline puts from lock contention, so transfers stay inline;
+    the round-trip amortization lives in the retire batching instead, see
+    `OdometryPipeline._run_pipelined`.) The NodeReplayer/Queue pairing keeps
+    its lock-step semantics: frames are consumed strictly in order, just
+    staged early."""
     import collections
-    import concurrent.futures
 
-    def _put(item):
-        t_ns, intensity, depth_img = item
-        return t_ns, jax.device_put(intensity), jax.device_put(depth_img)
-
-    ex = concurrent.futures.ThreadPoolExecutor(
-        max_workers=1, thread_name_prefix="h2d-prefetch"
-    )
-    try:
-        buf = collections.deque()
-        for item in stream:
-            buf.append(ex.submit(_put, item))
-            if len(buf) > depth:
-                yield buf.popleft().result()
-        while buf:
-            yield buf.popleft().result()
-    finally:
-        ex.shutdown(wait=False)
+    buf = collections.deque()
+    for t_ns, intensity, depth_img in stream:
+        buf.append((t_ns, jax.device_put(intensity), jax.device_put(depth_img)))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
