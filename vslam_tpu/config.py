@@ -84,6 +84,10 @@ class PipelineConfig:
     # YAML (NodeMapping.cpp:125-135): sinks to enable at pipeline startup
     log_image_enabled: Tuple[str, ...] = ()
     log_plot_enabled: Tuple[str, ...] = ()
+    # live visualization (the reference's RViz channel, NodeMapping.cpp:
+    # 231-272): None = off; a port number starts the in-process HTTP viewer
+    # (0 = ephemeral, read pipeline.viz.port). See vslam_tpu.viz.live.
+    live_viz_port: Optional[int] = None
 
     def __post_init__(self):
         scales = tuple(float(s) for s in self.pyramid_scales)

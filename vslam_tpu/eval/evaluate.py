@@ -42,6 +42,11 @@ def _cmd_odometry(args) -> int:
     cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
+    if args.live_viz is not None:
+        # the reference's RViz channel (NodeMapping.cpp:231-272); live-viz
+        # needs the host loop, so it implies the non-fused path
+        cfg = dataclasses.replace(cfg, live_viz_port=args.live_viz)
+        args.fused = False
     if len(args.dataset) > 1:
         return _cmd_odometry_multi(args, cfg, log)
     args.dataset = args.dataset[0]
@@ -431,7 +436,10 @@ def _cmd_synthetic(args) -> int:
         solver_max_iterations=50,
         solver_min_step_size=1e-7,
         enable_mapping=args.mapping,
+        live_viz_port=args.live_viz,
     )
+    if args.live_viz is not None:
+        args.fused = False  # live-viz publishes from the host loop
     camera = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
     if args.realistic:
         # occlusion scene + Kinect-like sensor degradation: the strongest
@@ -487,6 +495,12 @@ def _cmd_synthetic(args) -> int:
             }
         )
     )
+    if args.live_viz is not None and args.viz_hold > 0:
+        # keep the viewer inspectable after the replay finishes (a replay on
+        # a short synthetic stream outruns any human looking at the page)
+        print(f"live viewer holding at http://127.0.0.1:{pipeline.viz.port}/ "
+              f"for {args.viz_hold:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(args.viz_hold)
     return 0
 
 
@@ -614,6 +628,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("--chunk", type=int, default=16, help="frames per device dispatch with --fused")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument(
+        "--live-viz",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve the live trajectory viewer on PORT (0 = ephemeral); "
+        "the RViz channel without ROS (see vslam_tpu.viz)",
+    )
     p.add_argument("--log-level", default="WARNING")
     p.add_argument(
         "--profile-dir",
@@ -698,6 +720,20 @@ def main(argv=None) -> int:
         "--realistic",
         action="store_true",
         help="occlusion scene + sensor noise/holes/exposure drift (accuracy proxy)",
+    )
+    p.add_argument(
+        "--live-viz",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve the live trajectory viewer on PORT (0 = ephemeral)",
+    )
+    p.add_argument(
+        "--viz-hold",
+        type=float,
+        default=0.0,
+        metavar="SEC",
+        help="keep the live viewer serving for SEC seconds after the run",
     )
     p.add_argument(
         "--profile-dir",

@@ -38,6 +38,12 @@ class MotionPrediction:
         A^-1); models that filter use it as measurement noise."""
         raise NotImplementedError
 
+    def speed(self) -> np.ndarray:
+        """Current twist estimate [v; w] in 1/s — the reference's
+        ``Odometry::speed()`` published as the /odom twist
+        (NodeMapping.cpp:263). Zero for models without a velocity state."""
+        return np.zeros(6)
+
 
 class MotionPredictionNoMotion(MotionPrediction):
     """Prediction = last pose (MotionPrediction.h:36-60)."""
@@ -73,6 +79,9 @@ class MotionPredictionConstant(MotionPrediction):
             self._speed = lie_np.log(lie_np.relative(self._pose, pose)) / dt
         self._pose = np.asarray(pose, np.float64)
         self._t_ns = int(t_ns)
+
+    def speed(self) -> np.ndarray:
+        return self._speed.copy()
 
 
 class MotionPredictionKalman(MotionPrediction):
@@ -137,6 +146,9 @@ class MotionPredictionKalman(MotionPrediction):
             )
         self._pose = np.asarray(pose, np.float64)
         self._t_ns = int(t_ns)
+
+    def speed(self) -> np.ndarray:
+        return np.asarray(self._state.velocity, np.float64)
 
 
 def make_motion_prediction(model: str) -> MotionPrediction:

@@ -172,6 +172,14 @@ class OdometryPipeline:
             from .graph_backend import PoseGraphBackend
 
             self._graph = PoseGraphBackend()
+        # live visualization channel (the reference's RViz publishers,
+        # NodeMapping.cpp:231-272): /odom + /path + markers over an
+        # in-process HTTP viewer; pure host-side, O(1) per frame
+        self.viz = None
+        if cfg.live_viz_port is not None:
+            from ..viz import LiveViz
+
+            self.viz = LiveViz(port=cfg.live_viz_port)
 
     def process_frame(
         self, t_ns: int, intensity: np.ndarray, depth: np.ndarray
@@ -295,11 +303,30 @@ class OdometryPipeline:
                 self._log.warning("mapping backend failed: %s", exc)
 
         self.trajectory.append(t_ns, frame.pose, frame.cov)
+        if self.viz is not None:
+            self._publish_viz(t_ns, frame, is_kf)
         timer.record("pipeline.frame_total", time.perf_counter() - t0)
         self._log.debug(
             "frame t=%d kf=%s dt=%.1fms", t_ns, is_kf, 1e3 * (time.perf_counter() - t0)
         )
         return frame.pose, frame.cov
+
+    def _publish_viz(self, t_ns: int, frame: HostFrame, is_kf: bool) -> None:
+        """Feed the live viewer: per-frame odometry (pose + covariance +
+        twist — the reference's /odom + /path + TF publish,
+        NodeMapping.cpp:255-271), keyframe markers, and the current map
+        cloud on keyframes when the mapping backend is live."""
+        self.viz.publish_odometry(
+            t_ns, frame.pose, cov=frame.cov, twist=self.prediction.speed()
+        )
+        if is_kf:
+            self.viz.publish_keyframe(t_ns, frame.pose)
+            if self.cfg.enable_mapping:
+                pts = self.map.points()
+                if pts:
+                    self.viz.publish_landmarks(
+                        np.stack([p.position for p in pts])
+                    )
 
     def _ba_sane(self, poses, max_translation: float = 0.3, max_rotation: float = 0.3) -> bool:
         """Reject BA write-backs that move any keyframe implausibly far from
@@ -457,6 +484,8 @@ class OdometryPipeline:
         self.prediction.update(hf.pose, hf.t_ns, cov=hf.cov)
         self.map.insert(hf, is_kf)
         self.trajectory.append(hf.t_ns, hf.pose, hf.cov)
+        if self.viz is not None:
+            self._publish_viz(hf.t_ns, hf, is_kf)
         self._prev_retired = hf
 
 
