@@ -118,6 +118,53 @@ def test_pipeline_wiring():
         pipe.viz.close()
 
 
+def test_fused_path_publishes_retired_chunks():
+    """SequentialOdometry(viz=...) publishes each retired chunk's frames and
+    keyframes — live viz on the fused production path."""
+    from vslam_tpu.alignment.ic import AlignmentConfig
+    from vslam_tpu.core.camera import Camera
+    from vslam_tpu.io import synthetic
+    from vslam_tpu.core import lie_np
+    from vslam_tpu.odometry.sequential import SequentialConfig, SequentialOdometry
+    from vslam_tpu.solvers import SolverConfig
+
+    H, W, FX = 96, 128, 110.0
+    N, dt_ns = 10, int(1e9 / 30)
+    K = synthetic.camera_matrix(FX, FX, (W - 1) / 2, (H - 1) / 2)
+    poses = synthetic.smooth_trajectory(N, trans_amp=0.08, rot_amp=0.03)
+    p0i = lie_np.inv(poses[0])
+    poses = [p @ p0i for p in poses]
+    frames = [synthetic.render(K, p, (H, W)) for p in poses]
+    # config identical to test_sequential._seq_cfg -> jit cache hit
+    cfg = SequentialConfig(
+        alignment=AlignmentConfig(
+            min_gradient=10.0,
+            solver=SolverConfig(max_iterations=50, min_step_size=1e-7),
+            include_prior=True,
+            prior_weight=(FX / 525.0) ** 2,
+        ),
+        n_levels=3,
+        kf_period=5,
+    )
+    viz = LiveViz(port=0)
+    try:
+        odo = SequentialOdometry(
+            Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2), cfg, chunk=4, viz=viz
+        )
+        results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
+        state = viz.state()
+        assert state["n_frames"] == len(results) == N
+        assert state["n_keyframes"] >= 1  # kf_period=5 over 10 frames
+        # published positions match the retired trajectory (camera-in-world)
+        t, T, _ = results[-1]
+        assert state["t_ns"] == t
+        np.testing.assert_allclose(
+            state["position"], np.linalg.inv(T)[:3, 3], atol=1e-6
+        )
+    finally:
+        viz.close()
+
+
 def test_unknown_path_404():
     viz = LiveViz(port=0)
     try:

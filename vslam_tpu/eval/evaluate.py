@@ -43,10 +43,9 @@ def _cmd_odometry(args) -> int:
     if args.mapping:
         cfg = dataclasses.replace(cfg, enable_mapping=True)
     if args.live_viz is not None:
-        # the reference's RViz channel (NodeMapping.cpp:231-272); live-viz
-        # needs the host loop, so it implies the non-fused path
+        # the reference's RViz channel (NodeMapping.cpp:231-272); the host
+        # loop publishes per frame, the fused scan per retired chunk
         cfg = dataclasses.replace(cfg, live_viz_port=args.live_viz)
-        args.fused = False
     if len(args.dataset) > 1:
         return _cmd_odometry_multi(args, cfg, log)
     args.dataset = args.dataset[0]
@@ -108,7 +107,14 @@ def _cmd_odometry(args) -> int:
                 ba_max_iterations=cfg.ba_max_iterations,
                 pose_write_back=cfg.ba_pose_write_back,
             )
-        odo = SequentialOdometry(camera, seq_cfg, chunk=args.chunk, mapping=mapping)
+        viz = None
+        if cfg.live_viz_port is not None:
+            from ..viz import LiveViz
+
+            viz = LiveViz(port=cfg.live_viz_port)
+        odo = SequentialOdometry(
+            camera, seq_cfg, chunk=args.chunk, mapping=mapping, viz=viz
+        )
         t0 = time.perf_counter()
         results = odo.run(stream)
         elapsed = time.perf_counter() - t0
@@ -438,8 +444,7 @@ def _cmd_synthetic(args) -> int:
         enable_mapping=args.mapping,
         live_viz_port=args.live_viz,
     )
-    if args.live_viz is not None:
-        args.fused = False  # live-viz publishes from the host loop
+    viz_obj = None
     camera = Camera.create(FX, FX, (W - 1) / 2, (H - 1) / 2)
     if args.realistic:
         # occlusion scene + Kinect-like sensor degradation: the strongest
@@ -460,11 +465,16 @@ def _cmd_synthetic(args) -> int:
             from ..odometry.sequential_mapping import ChunkMappingBackend
 
             mapping = ChunkMappingBackend(enable_ba=True)
+        if cfg.live_viz_port is not None:
+            from ..viz import LiveViz
+
+            viz_obj = LiveViz(port=cfg.live_viz_port)
         odo = SequentialOdometry(
             camera,
             SequentialConfig(alignment=cfg.alignment_config(), n_levels=cfg.pyramid_levels),
             chunk=8,
             mapping=mapping,
+            viz=viz_obj,
         )
         t0 = time.perf_counter()
         results = odo.run((i * dt_ns, f[0], f[1]) for i, f in enumerate(frames))
@@ -474,6 +484,7 @@ def _cmd_synthetic(args) -> int:
             n_landmarks = mapping.n_landmarks
     else:
         pipeline = OdometryPipeline(camera, cfg)
+        viz_obj = pipeline.viz
         t0 = time.perf_counter()
         for i, (intensity, depth) in enumerate(frames):
             pipeline.process_frame(i * dt_ns, intensity, depth)
@@ -495,10 +506,10 @@ def _cmd_synthetic(args) -> int:
             }
         )
     )
-    if args.live_viz is not None and args.viz_hold > 0:
+    if viz_obj is not None and args.viz_hold > 0:
         # keep the viewer inspectable after the replay finishes (a replay on
         # a short synthetic stream outruns any human looking at the page)
-        print(f"live viewer holding at http://127.0.0.1:{pipeline.viz.port}/ "
+        print(f"live viewer holding at http://127.0.0.1:{viz_obj.port}/ "
               f"for {args.viz_hold:.0f}s", file=sys.stderr, flush=True)
         time.sleep(args.viz_hold)
     return 0

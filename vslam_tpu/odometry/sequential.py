@@ -349,11 +349,17 @@ class SequentialOdometry:
         mapping=None,  # optional sequential_mapping.ChunkMappingBackend
         async_mapping: bool = True,
         backend_depth: int = 2,
+        viz=None,  # optional viz.LiveViz: publish retired chunks live
     ):
         self.camera = camera
         self.cfg = cfg
         self.chunk = int(chunk)
         self.mapping = mapping
+        # live viewer (the reference's RViz publish, NodeMapping.cpp:231-272):
+        # retired chunks publish their frames in order; display lags the scan
+        # by at most one chunk, and publishing is O(1) host appends off the
+        # dispatch path
+        self.viz = viz
         # async_mapping runs the keyframe backend in a single worker thread,
         # overlapped with the NEXT chunk's device scan; its BA/loop-closure
         # correction folds into the device state one chunk later than the
@@ -457,6 +463,9 @@ class SequentialOdometry:
                 self.state = init_state(i0, d0, self.camera, self.cfg)
                 self._t_last_ns = int(t_ns)
                 out.append((int(t_ns), np.eye(4), np.eye(6)))
+                if self.viz is not None:  # seed frame = first keyframe
+                    self.viz.publish_odometry(int(t_ns), np.eye(4), cov=np.eye(6))
+                    self.viz.publish_keyframe(int(t_ns), np.eye(4))
                 if self.mapping is not None:
                     self.mapping.process_chunk(
                         [(int(t_ns), i0, d0)], [np.eye(4)], [np.eye(6)], [True],
@@ -497,6 +506,9 @@ class SequentialOdometry:
         self._C_total = np.eye(4)
         self._C_worker = np.eye(4)
         out: List[Tuple[int, np.ndarray, np.ndarray]] = [(int(t_ns), np.eye(4), np.eye(6))]
+        if self.viz is not None:  # seed frame = first keyframe
+            self.viz.publish_odometry(int(t_ns), np.eye(4), cov=np.eye(6))
+            self.viz.publish_keyframe(int(t_ns), np.eye(4))
         if self.mapping is not None:
             with timer.scope("seq.first_frame_backend"):
                 self.mapping.process_chunk(
@@ -546,6 +558,18 @@ class SequentialOdometry:
         nxt, buf, staged, C_dispatch, detect_out = rec
         results = self._collect(*nxt)
         out.extend(results)
+        if self.viz is not None:
+            for (t, T, c), kf in zip(results, self._last_kf_flags):
+                self.viz.publish_odometry(t, T, cov=c)
+                if kf:
+                    self.viz.publish_keyframe(t, T)
+            if self.mapping is not None:
+                try:  # display-only read of the (possibly async) backend map
+                    pts = [p.position for p in self.mapping.map.points()]
+                    if pts:
+                        self.viz.publish_landmarks(np.stack(pts))
+                except RuntimeError:  # map mutated mid-read by the worker
+                    pass
         if self.mapping is None:
             return
         kf_flags = list(self._last_kf_flags)
