@@ -35,6 +35,11 @@ import os
 import sys
 import time
 
+# self-locating: `python scripts/profile_mfu.py` from anywhere (APPEND to
+# sys.path semantics — never displace an existing PYTHONPATH, which may be
+# carrying the TPU platform plugin)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
