@@ -6,23 +6,21 @@ ANALYTIC per-pair MXU FLOP count, divided by the chip's peak.
 
 Why analytic: XLA's cost model (`utils.profiling.cost_analysis`) cannot see
 inside a Pallas kernel — it reports ~0 FLOPs for the fused program — so the
-count is derived from the kernel's own structure (fused_ne.py:91-177):
-
-  per GN iteration, per 1024-point chunk, per pair
-    one-hot sampling matmul  wy(C,H) @ img(H,W)   = 2*C*H*W   <- dominant
-    row mix + reduce         mix(C,W) * wx + sum  ~ 3*C*W
-    Gram block               (8,C) x (C,8)        = 128*C
+count comes from the shared model `utils.profiling.fused_align_flops`
+(mirroring fused_ne.py's banded sampling: nb * 2*C*BAND*w per chunk per GN
+iteration plus the column mix and Gram terms; band-segment counts nb are
+measured from the actual interest points + converged warp via
+`banded_segments_from_data`).
 
 Iteration counts come from the solver's OWN telemetry (SolverResult history,
 `ic.align(with_diagnostics=True)`), summed over the B pairs and L levels of
-the bench problem; point budgets shrink 4x per level (ic.align:708).
+the bench problem; point budgets shrink 4x per level (ic.align).
 
 The FLOPs are REAL work the MXU executes (the kernel deliberately converts a
 gather into a structured matmul — SNIPPETS.md one-hot sampling pattern), but
-most of them are multiplies by zero of a one-hot operand: "algorithmic"
-FLOPs (what a CPU gather would do) are ~1000x fewer. Both numbers print;
-MFU-vs-peak uses the executed count, which is what bounds further speedup
-from THIS formulation on the MXU.
+many are still multiplies by zero of a one-hot operand: "algorithmic" FLOPs
+(what a CPU gather would do) print alongside. MFU-vs-peak uses the executed
+count, which is what bounds further speedup from THIS formulation on the MXU.
 
 Run: PYTHONPATH=. python scripts/profile_mfu.py   (one real chip, ~2 min)
 Env: MFU_BATCH (64), MFU_REPS (20), BENCH_POINTS/BENCH_IMG_DTYPE as bench.py.
@@ -35,9 +33,9 @@ import os
 import sys
 import time
 
-# self-locating: `python scripts/profile_mfu.py` from anywhere (APPEND to
-# sys.path semantics — never displace an existing PYTHONPATH, which may be
-# carrying the TPU platform plugin)
+# self-locating: `python scripts/profile_mfu.py` from anywhere. The repo
+# root is PREPENDED to sys.path (never touches PYTHONPATH itself, which may
+# be carrying the TPU platform plugin).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -52,26 +50,9 @@ from vslam_tpu.core.frame import create_frame
 from vslam_tpu.core.se3 import SE3
 from vslam_tpu.io import synthetic
 from vslam_tpu.solvers import SolverConfig
-
-# bf16 peak TFLOP/s per chip (MXU) and HBM GB/s, by device_kind substring.
-# Sources: public TPU spec sheets (v4: 275, v5e: 197, v5p: 459, v6e: 918).
-_PEAKS = {
-    "v6e": (918.0, 1640.0),
-    "v6": (918.0, 1640.0),
-    "v5p": (459.0, 2765.0),
-    "v5e": (197.0, 819.0),
-    "v5 lite": (197.0, 819.0),
-    "v5litepod": (197.0, 819.0),
-    "v4": (275.0, 1228.0),
-}
-
-
-def _peak_for(kind: str):
-    k = kind.lower()
-    for sub, peak in _PEAKS.items():
-        if sub in k:
-            return peak
-    return None, None
+from vslam_tpu.utils.profiling import (
+    banded_segments_from_data, fused_align_flops, tpu_peaks,
+)
 
 
 def main():
@@ -114,23 +95,26 @@ def main():
         max_points=max_points,
     )
 
-    # --- iteration telemetry: the solver's own accepted-iteration counters
+    # --- iteration telemetry: the solver's own accepted-iteration counters,
+    # plus the converged warps + interest points for the band-segment model
     from vslam_tpu.alignment import ic
 
     @jax.jit
     def diag_pairs(ref, cur, rel0, x_pred):
         def one(ref_i, cur_i, rel_i, xp_i):
             ref_f = jax.tree_util.tree_map(lambda x: x[None], ref_i)
-            _, _, _, diag = ic.align(
+            r, _, _, diag = ic.align(
                 ref_f, cur_i, SE3(rel_i.R[None], rel_i.t[None]),
                 xp_i[None], cfg, with_diagnostics=True,
             )
-            return diag["iterations"]  # (L,) coarsest level first
+            data = ic.precompute_frame(ref_i, cfg)
+            return (diag["iterations"], r.R[0], r.t[0],
+                    tuple(lv.pcl for lv in data), tuple(lv.mask for lv in data))
 
         return jax.vmap(one)(ref, cur, rel0, x_pred)
 
-    iters = np.asarray(jax.device_get(diag_pairs(ref, cur, rel0, x_pred)))
-    iters = iters.reshape(B, -1)  # (B, L) coarsest first
+    iters, Rf, tf, pcls, masks = jax.device_get(diag_pairs(ref, cur, rel0, x_pred))
+    iters = np.asarray(iters).reshape(B, -1)  # (B, L) coarsest first
     L = iters.shape[1]
     # align() solves coarsest first; level l here = pyramid level (L-1-row)
     iters_by_level = iters[:, ::-1]  # (B, L) finest first
@@ -157,23 +141,34 @@ def main():
     elapsed = time.perf_counter() - t0
     pairs_per_sec = B * REPS / elapsed
 
-    # --- analytic executed-FLOP count (see module docstring)
-    total_flops = 0.0  # per one pass over the B pairs
-    algo_flops = 0.0  # gather-formulation equivalent (per-point ~60 flops)
-    per_level = []
+    # --- analytic executed-FLOP count (shared model, see module docstring)
+    from vslam_tpu.alignment.fused_ne import _BAND
+
+    level_shapes = [(H >> lvl, W >> lvl) for lvl in range(L)]
+    FXf = float(FX)
+    segs, points = [], []
     for lvl in range(L):
-        h, w = H >> lvl, W >> lvl
-        budget = max_points >> (2 * lvl) if max_points else h * w
-        nc = max(1, -(-budget // C))
-        it_sum = float(iters_by_level[:, lvl].sum())  # over B pairs
-        fl = it_sum * nc * (2.0 * C * h * w + 3.0 * C * w + 128.0 * C)
-        total_flops += fl
-        algo_flops += it_sum * budget * 60.0
-        per_level.append(
-            dict(level=lvl, hw=f"{h}x{w}", points=budget, chunks=nc,
-                 iters_mean=round(float(iters_by_level[:, lvl].mean()), 2),
-                 gflops=round(fl / 1e9, 2))
-        )
+        h, w = level_shapes[lvl]
+        points.append(int(pcls[lvl].shape[1]))
+        if h <= _BAND:
+            segs.append(1.0)
+            continue
+        per_pair = [
+            banded_segments_from_data(
+                pcls[lvl][b], masks[lvl][b], Rf[b], tf[b],
+                FXf / (1 << lvl), FXf / (1 << lvl),
+                ((W - 1) / 2) / (1 << lvl), ((H - 1) / 2) / (1 << lvl),
+                h, w, band=_BAND, chunk=C,
+                bilinear=(cfg.interpolation == "bilinear"),
+            )[0]
+            for b in range(B)
+        ]
+        segs.append(float(np.mean(per_pair)))
+
+    total_flops, algo_flops, per_level = fused_align_flops(
+        iters_by_level, level_shapes, points, seg_by_level=segs,
+        chunk=C, band=_BAND,
+    )
 
     flops_per_pair = total_flops / B
     achieved_tflops = pairs_per_sec * flops_per_pair / 1e12
@@ -182,7 +177,7 @@ def main():
     kind = getattr(dev, "device_kind", "") or os.environ.get(
         "PALLAS_AXON_TPU_GEN", "unknown"
     )
-    peak_tflops, peak_hbm = _peak_for(str(kind))
+    peak_tflops, peak_hbm = tpu_peaks(str(kind))
     mfu = achieved_tflops / peak_tflops if peak_tflops else None
 
     # cost_analysis for context: documents that XLA's model can't see the

@@ -52,6 +52,28 @@ __all__ = ["FusedLevelPack", "pack_level", "fused_level_ne", "fused_level_sample
 
 _CHUNK = 1024  # points per grid step = one (8, 128) f32 tile row-block
 
+# Banded sampling (round 5): the one-hot row matmul wy(C, H) @ img(H, W) —
+# the dominant executed-FLOP term (2*C*H*W per chunk per GN iteration,
+# ~94% of the kernel's FLOPs at 480x640, profile_mfu round-4: 14.91 GFLOP
+# executed vs 0.002 algorithmic per pair) — multiplies almost entirely by
+# zeros: each point reads 1-2 image rows, and a chunk of 1024 points is
+# row-contiguous by construction (ic._precompute_compact compacts the
+# interest mask in row-major order, so consecutive points share rows, and
+# inter-frame warp displacement is small). The banded path computes the
+# chunk's warped row range [vmin, vmax] in-kernel and runs the matmul only
+# over _BAND-row segments of the image that the chunk actually touches:
+# wy(C, _BAND) @ img[rs:rs+_BAND] per segment, accumulated over the
+# (data-dependent, usually 1) number of segments. Exact — out-of-band
+# points cannot exist by construction — and _BAND = 128 keeps the MXU's
+# full 128-deep systolic contraction busy. Callers pad the image by _BAND
+# rows so the last segment's dynamic slice stays in bounds; banding is
+# compiled in only when H > _BAND (static decision per pyramid level).
+# VSLAM_FUSED_BAND overrides the segment height (0 disables banding) for
+# A/B roofline experiments.
+import os as _os
+
+_BAND = int(_os.environ.get("VSLAM_FUSED_BAND", "128"))
+
 
 class FusedLevelPack(NamedTuple):
     """Per-level kernel operands, packed once per align (outside the GN loop).
@@ -88,11 +110,13 @@ def pack_level(pcl: jax.Array, J: jax.Array, templ: jax.Array, mask: jax.Array) 
     return FusedLevelPack(geom, jt)
 
 
-def _sample_chunk(g, img_ref, scal, H, W, interp):
+def _sample_chunk(g, img_ref, scal, H, W, interp, band=0):
     """One chunk's warp + projection + visibility + sampling (pure values).
 
     g: (8, C) geometry rows [px, py, pz, templ, mask]; img_ref: (H, W) VMEM
-    ref; scal: 16 f32 scalars (r00..r22, tx, ty, tz, fx, fy, cx, cy).
+    ref ((H + band, W) when ``band`` > 0 — callers pad the rows); scal: 16
+    f32 scalars (r00..r22, tx, ty, tz, fx, fy, cx, cy); band: 0 = full
+    one-hot row matmul, > 0 = banded segments (see _BAND above).
     Returns (iwxp (C,) f32 sampled intensity, visible (C,) bool, templ (C,)).
     """
     (r00, r01, r02, r10, r11, r12, r20, r21, r22,
@@ -125,34 +149,65 @@ def _sample_chunk(g, img_ref, scal, H, W, interp):
 
     # one-hot sampling on the MXU; weights cast to the image dtype
     idt = img_ref.dtype
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, H), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, W), 1)
     if interp == "bilinear":
         v0 = jnp.floor(vc)
         fyf = (vc - v0).reshape(_CHUNK, 1)
-        v0i = v0.astype(jnp.int32).reshape(_CHUNK, 1)
-        wy = jnp.where(rows == v0i, 1.0 - fyf, 0.0) + jnp.where(rows == v0i + 1, fyf, 0.0)
+        v0i = v0.astype(jnp.int32)
         u0 = jnp.floor(uc)
         fxf = (uc - u0).reshape(_CHUNK, 1)
         u0i = u0.astype(jnp.int32).reshape(_CHUNK, 1)
         wx = jnp.where(cols == u0i, 1.0 - fxf, 0.0) + jnp.where(cols == u0i + 1, fxf, 0.0)
     else:  # "nearest": floor(x + 0.5) = std::round for non-negative coords
-        v0i = jnp.floor(vc + 0.5).astype(jnp.int32).reshape(_CHUNK, 1)
+        v0i = jnp.floor(vc + 0.5).astype(jnp.int32)
         u0i = jnp.floor(uc + 0.5).astype(jnp.int32).reshape(_CHUNK, 1)
-        wy = jnp.where(rows == v0i, 1.0, 0.0)
         wx = jnp.where(cols == u0i, 1.0, 0.0)
     # bf16 operands need DEFAULT contract precision (Mosaic rejects a forced
     # fp32 contract on bf16 lhs/rhs); accumulation stays f32 either way
     prec = jax.lax.Precision.DEFAULT if idt == jnp.bfloat16 else None
-    mix = jnp.dot(
-        wy.astype(idt), img_ref[...],
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    iwxp = jnp.sum(mix * wx.astype(jnp.float32), axis=-1)  # (C,)
+    v0c = v0i.reshape(_CHUNK, 1)
+
+    def _wy(row_ids):
+        """One-hot row weights against (C, ...) image-row-index grid."""
+        if interp == "bilinear":
+            return jnp.where(row_ids == v0c, 1.0 - fyf, 0.0) + jnp.where(
+                row_ids == v0c + 1, fyf, 0.0
+            )
+        return jnp.where(row_ids == v0c, 1.0, 0.0)
+
+    if band:
+        # Banded path (see _BAND): the chunk's warped rows span
+        # [vmin, vmax] (inclusive; bilinear touches v0 and v0+1); run the
+        # one-hot matmul only over _BAND-row segments covering that span.
+        vmax_pt = v0i + (1 if interp == "bilinear" else 0)
+        vmin = jnp.min(jnp.where(visible, v0i, H))
+        vmax = jnp.max(jnp.where(visible, vmax_pt, -1))
+        r0 = (vmin // 8) * 8  # sublane-aligned dynamic-slice start
+        nb = jnp.maximum((vmax + 1 - r0 + band - 1) // band, 0)
+        wx32 = wx.astype(jnp.float32)
+
+        def seg(s, acc):
+            rs = r0 + s * band
+            bimg = img_ref[pl.ds(rs, band), :]
+            lr = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, band), 1) + rs
+            mix = jnp.dot(
+                _wy(lr).astype(idt), bimg,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            return acc + jnp.sum(mix * wx32, axis=-1)
+
+        iwxp = jax.lax.fori_loop(0, nb, seg, jnp.zeros((_CHUNK,), jnp.float32))
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, H), 1)
+        mix = jnp.dot(
+            _wy(rows).astype(idt), img_ref[...],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        iwxp = jnp.sum(mix * wx.astype(jnp.float32), axis=-1)  # (C,)
     return iwxp, visible, templ
 
 
-def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
+def _gram_chunk(g, jrows, img_ref, scal, H, W, interp, band=0):
     """One chunk's residual pass + Gram block (pure values; shared by the
     per-iteration NE kernel and the full in-kernel GN solver).
 
@@ -160,7 +215,7 @@ def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
     img_ref: (H, W) VMEM ref; scal as in _sample_chunk. Returns G (8, 8):
     G[:6,:6] = JᵀWJ, G[:6,6] = JᵀWr, G[6,6] = chi2, G[7,7] = n_visible.
     """
-    iwxp, visible, templ = _sample_chunk(g, img_ref, scal, H, W, interp)
+    iwxp, visible, templ = _sample_chunk(g, img_ref, scal, H, W, interp, band)
 
     # residual + quadratic weights (loss "None": w = visible)
     w = visible.astype(jnp.float32)
@@ -176,12 +231,12 @@ def _gram_chunk(g, jrows, img_ref, scal, H, W, interp):
     )  # (8, 8)
 
 
-def _ne_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref, *, H, W, interp):
+def _ne_kernel(params_ref, geom_ref, jt_ref, img_ref, out_ref, *, H, W, interp, band):
     """Grid (F, nc); accumulates the 8x8 Gram block into out_ref[(f)]."""
     c = pl.program_id(1)
 
     scal = tuple(params_ref[0, k] for k in range(16))
-    G = _gram_chunk(geom_ref[0, 0], jt_ref[0, 0], img_ref, scal, H, W, interp)
+    G = _gram_chunk(geom_ref[0, 0], jt_ref[0, 0], img_ref, scal, H, W, interp, band)
     Gp = jnp.pad(G, ((0, 0), (0, 120)))
 
     @pl.when(c == 0)
@@ -207,6 +262,9 @@ def fused_level_ne(
     """
     F, nc = pack.geom.shape[:2]
     H, W = img.shape
+    band = _BAND if H > _BAND else 0
+    if band:
+        img = jnp.pad(img, ((0, band), (0, 0)))
     params = jnp.concatenate(
         [
             rel.R.reshape(F, 9).astype(jnp.float32),
@@ -218,7 +276,7 @@ def fused_level_ne(
         axis=1,
     )  # (F, 16)
 
-    kernel = functools.partial(_ne_kernel, H=H, W=W, interp=interp)
+    kernel = functools.partial(_ne_kernel, H=H, W=W, interp=interp, band=band)
     out = pl.pallas_call(
         kernel,
         interpret=pallas_interpret(),
@@ -227,7 +285,7 @@ def fused_level_ne(
             pl.BlockSpec((1, 16), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8, _CHUNK), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, _CHUNK), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W), lambda f, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H + band, W), lambda f, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda f, c: (f, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, 8, 128), jnp.float32),
@@ -240,12 +298,12 @@ def fused_level_ne(
     return A, b, chi2, n_vis
 
 
-def _sample_level_kernel(params_ref, geom_ref, img_ref, iw_ref, vis_ref, *, H, W, interp):
+def _sample_level_kernel(params_ref, geom_ref, img_ref, iw_ref, vis_ref, *, H, W, interp, band):
     """Grid (F, nc); emits sampled intensity + visibility per point chunk
     (the sampling-only companion of _ne_kernel, for robust losses whose
     scale/weights are computed in XLA from the compact residual arrays)."""
     scal = tuple(params_ref[0, k] for k in range(16))
-    iwxp, visible, _ = _sample_chunk(geom_ref[0, 0], img_ref, scal, H, W, interp)
+    iwxp, visible, _ = _sample_chunk(geom_ref[0, 0], img_ref, scal, H, W, interp, band)
     iw_ref[0, 0] = iwxp.reshape(8, 128)
     vis_ref[0, 0] = visible.astype(jnp.float32).reshape(8, 128)
 
@@ -265,6 +323,9 @@ def fused_level_sample(
     """
     F, nc = pack.geom.shape[:2]
     H, W = img.shape
+    band = _BAND if H > _BAND else 0
+    if band:
+        img = jnp.pad(img, ((0, band), (0, 0)))
     params = jnp.concatenate(
         [
             rel.R.reshape(F, 9).astype(jnp.float32),
@@ -276,7 +337,7 @@ def fused_level_sample(
         axis=1,
     )  # (F, 16)
 
-    kernel = functools.partial(_sample_level_kernel, H=H, W=W, interp=interp)
+    kernel = functools.partial(_sample_level_kernel, H=H, W=W, interp=interp, band=band)
     iw, vis = pl.pallas_call(
         kernel,
         interpret=pallas_interpret(),
@@ -284,7 +345,7 @@ def fused_level_sample(
         in_specs=[
             pl.BlockSpec((1, 16), lambda f, c: (f, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8, _CHUNK), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W), lambda f, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H + band, W), lambda f, c: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 8, 128), lambda f, c: (f, c, 0, 0), memory_space=pltpu.VMEM),

@@ -192,7 +192,7 @@ _HIST = 128
 
 def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
                 chist_ref, shist_ref, r_buf, vis_buf, *,
-                H, W, F, nc, interp, include_prior, prior_weight,
+                H, W, F, nc, band, interp, include_prior, prior_weight,
                 max_iterations, min_step_size, min_gradient, min_reduction,
                 min_relative_reduction, orthonormalize,
                 loss_kind, scaler_kind, huber_c, tdist_v):
@@ -348,9 +348,11 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
             t = tuple(_mat3_vec(R0, td)[i] + t0[i] for i in range(3))
             scal = R + t + (fx, fy, cx, cy)
             if loss_kind == 0:
-                G = _gram_chunk(geom_ref[f, 0], jt_ref[f, 0], img_ref, scal, H, W, interp)
+                G = _gram_chunk(geom_ref[f, 0], jt_ref[f, 0], img_ref, scal, H, W, interp, band)
                 for c in range(1, nc):
-                    G = G + _gram_chunk(geom_ref[f, c], jt_ref[f, c], img_ref, scal, H, W, interp)
+                    G = G + _gram_chunk(
+                        geom_ref[f, c], jt_ref[f, c], img_ref, scal, H, W, interp, band
+                    )
             else:
                 # Robust losses: two passes per iteration over VMEM-cached
                 # residuals. Pass A warps/samples once and caches r; the
@@ -359,7 +361,7 @@ def _solve_impl(params_ref, geom_ref, jt_ref, img_ref, out_ref_2d,
                 # pass B is the weighted Gram accumulation.
                 for c in range(nc):
                     iwxp, visible, templ = _sample_chunk(
-                        geom_ref[f, c], img_ref, scal, H, W, interp
+                        geom_ref[f, c], img_ref, scal, H, W, interp, band
                     )
                     r = jnp.where(visible, iwxp - templ, 0.0)
                     r_buf[f, c] = r.reshape(8, 128)
@@ -551,6 +553,11 @@ def solve_level_fused(
     img = image_cur
     if cfg.image_dtype == "bfloat16":
         img = img.astype(jnp.bfloat16)
+    from .fused_ne import _BAND
+
+    band = _BAND if H > _BAND else 0
+    if band:
+        img = jnp.pad(img, ((0, band), (0, 0)))
 
     xp = x_pred if x_pred is not None else jnp.zeros((F, 6), jnp.float32)
     params = jnp.zeros((F, _PROW), jnp.float32)
@@ -570,7 +577,7 @@ def solve_level_fused(
     scaler_kind = {"reference": 0, "mad": 1, "mean": 2}[cfg.loss.scaler]
     kernel = functools.partial(
         _solve_kernel if loss_kind == 0 else _solve_kernel_robust,
-        H=H, W=W, F=F, nc=nc,
+        H=H, W=W, F=F, nc=nc, band=band,
         interp="bilinear" if cfg.interpolation == "bilinear" else "nearest",
         include_prior=bool(cfg.include_prior and x_pred is not None),
         prior_weight=float(cfg.prior_weight),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -288,38 +289,101 @@ def _precompute_compact(
     of the reference's interest-point vector (SE3Alignment.cpp:83-94):
     steepest-descent rows and the point cloud are built only for the
     selected points, and every Gauss-Newton iteration then scales with the
-    budget, not the pixel grid. Points beyond capacity are dropped (rare at
-    reference thresholds); padding rows carry mask=False."""
+    budget, not the pixel grid.
+
+    Round-5 redesign (the single biggest per-align cost on hardware): the
+    previous `jnp.nonzero(size)` compaction lowers to a 307k-element XLA
+    scatter that measured ~2.5 ms per 480x640 level on v5e — ~15x the whole
+    fused GN solve. This version is scatter- and gather-free: the image is
+    cut into 8-row blocks; each block takes its first (row-major)
+    kb = n_sel // n_blocks masked pixels via a dense rank one-hot
+    ((cumsum == r) & mask selects exactly the r-th masked pixel) and
+    compacts coordinates, depth, gradients and template in one batched
+    (kb, M) x (M, 8) matmul (~50 us total). Selection is therefore
+    *block-stratified*: each 8-row band contributes up to kb points, so a
+    tight budget spreads over the whole image instead of concentrating in
+    the top rows — strictly better-conditioned normal equations; with the
+    budget at or above the mask population it selects the same set as the
+    dense path. Capacity is n_blocks * kb (<= n_sel); padding rows carry
+    mask=False. Point order stays row-major by block, keeping the fused
+    kernel's point chunks row-contiguous (fused_ne._BAND)."""
     H, W = intensity.shape
     dtype = intensity.dtype
+    # block height: the rank one-hot is (n_blocks, kb, BR*W) — its element
+    # count (and the compaction's HBM traffic) is ~ kb/BR-invariant in
+    # theory, but smaller blocks shrink kb and with it the materialized
+    # compare tensor; BR=2 measured fastest at 480x640/2048 (env override
+    # for experiments)
+    BR = int(_os.environ.get("VSLAM_COMPACT_BLOCK_ROWS", "2"))
+    nb = -(-H // BR)
+    Hp = nb * BR
+    kb = max(n_sel // nb, 1)
     grad2 = dIx * dIx + dIy * dIy
     depth_valid = _depth_valid_3x3(depth)
-    mask = ((grad2 >= min_gradient * min_gradient) & depth_valid).reshape(-1)
+    mask = grad2 >= min_gradient * min_gradient
+    mask = mask & depth_valid
 
-    (idx,) = jnp.nonzero(mask, size=n_sel, fill_value=-1)
-    sel = idx >= 0
-    idx = jnp.maximum(idx, 0)
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
+    z = jnp.where(depth_valid, depth, 0.0).astype(jnp.float32)
+    planes = jnp.stack(
+        [xs, ys, z, dIx.astype(jnp.float32), dIy.astype(jnp.float32),
+         intensity.astype(jnp.float32)],
+        axis=-1,
+    )  # (H, W, 6); f32 keeps u/v/intensity sums exact through the matmul
+    if Hp != H:
+        planes = jnp.pad(planes, ((0, Hp - H), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, Hp - H), (0, 0)))
+    M = BR * W
+    mb = mask.reshape(nb, M)
+    c = jnp.cumsum(mb.astype(jnp.int32), axis=1)  # per-block masked ranks
+    # Uniformly STRIDED ranks per block: slot s takes the
+    # floor(s * count / kb) + 1 -th masked pixel, so an over-budget block
+    # thins its population evenly across the block (taking the FIRST kb
+    # instead biases selection toward low column indices — measured as an
+    # ATE regression on small-geometry replays). Under-budget blocks hit
+    # each rank 1..count exactly once (duplicate ranks are masked), i.e.
+    # they select every masked pixel, matching the dense path.
+    cnt = c[:, -1]  # (nb,) masked population per block
+    s_idx = jnp.arange(kb, dtype=jnp.int32)
+    ranks = (s_idx[None, :] * cnt[:, None]) // kb + 1  # (nb, kb)
+    dup = jnp.concatenate(
+        [jnp.zeros((nb, 1), bool), ranks[:, 1:] == ranks[:, :-1]], axis=1
+    )
+    # masked pixels have unique cumsum values, so (c == r) & m is one-hot
+    onehot = (c[:, None, :] == ranks[:, :, None]) & mb[:, None, :]
+    sel = jax.lax.dot_general(
+        onehot.astype(jnp.float32),
+        planes.reshape(nb, M, 6),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nb, kb, 6)
+    valid = ((cnt[:, None] >= ranks) & ~dup).reshape(-1)  # rank exists, once
 
-    u = (idx % W).astype(dtype)
-    v = (idx // W).astype(dtype)
-    z = jnp.where(sel, depth.reshape(-1)[idx], 0.0)
-    pcl = cam_mod.backproject(cam, jnp.stack([u, v], axis=-1), z)
-    gx = dIx.reshape(-1)[idx]
-    gy = dIy.reshape(-1)[idx]
-    Jw = _projection_jacobian(pcl, fx=cam.fx, fy=cam.fy)  # (N, 2, 6)
+    P = nb * kb
+    sel = sel.reshape(P, 6)
+    u = sel[:, 0].astype(dtype)
+    v = sel[:, 1].astype(dtype)
+    zs = jnp.where(valid, sel[:, 2], 0.0).astype(dtype)
+    gx = sel[:, 3].astype(dtype)
+    gy = sel[:, 4].astype(dtype)
+    templ = sel[:, 5].astype(dtype)
+
+    pcl = cam_mod.backproject(cam, jnp.stack([u, v], axis=-1), zs)
+    Jw = _projection_jacobian(pcl, fx=cam.fx, fy=cam.fy)  # (P, 2, 6)
     J = gx[:, None] * Jw[..., 0, :] + gy[:, None] * Jw[..., 1, :]
-    sel = sel & (pcl[..., 2] > 0.0)
-    J = jnp.where(sel[:, None], J, 0.0)
+    ok = valid & (pcl[..., 2] > 0.0)
+    J = jnp.where(ok[:, None], J, 0.0)
     return ICLevelData(
         pcl=pcl,
         J=J,
-        templ=intensity.reshape(-1)[idx],
-        mask=sel,
+        templ=templ,
+        mask=ok,
         # count the rows that can actually contribute to A/b — on budget
         # overflow the dropped points must not deflate the normalized NE
         # (they would inflate covariance and shift the photometric-vs-prior
         # balance relative to the reference)
-        n_constraints=jnp.sum(sel).astype(dtype),
+        n_constraints=jnp.sum(ok).astype(dtype),
     )
 
 
