@@ -113,3 +113,78 @@ def test_large_graph_scales():
     d_end = np.linalg.norm(np.asarray(opt.t)[K - 1] - np.asarray(g.poses.t)[K - 1])
     assert np.isfinite(d_end)
     assert elapsed < 300, f"200-node graph took {elapsed:.0f}s"
+
+
+def test_pcg_matches_dense(rng):
+    """The matrix-free block-Jacobi PCG path must reproduce the dense exact
+    solve on the same LM trajectory (inexact inner solves may change the
+    path slightly; the optimum and the chi2 reduction must agree)."""
+    g, poses_gt, _ = build_loop(rng, K=16, odo_noise=0.02)
+    opt_d, c0_d, c1_d = optimize_pose_graph(g, max_iterations=30, solver="dense")
+    opt_p, c0_p, c1_p = optimize_pose_graph(
+        g, max_iterations=30, solver="pcg", max_cg=256, cg_rtol=1e-8
+    )
+    np.testing.assert_allclose(float(c0_d), float(c0_p), rtol=1e-5)
+    assert float(c1_p) < 0.1 * float(c0_p)
+    # both land on the same optimum
+    np.testing.assert_allclose(np.asarray(opt_p.t), np.asarray(opt_d.t), atol=5e-3)
+    err_d = _pose_errors(opt_d, poses_gt)
+    err_p = _pose_errors(opt_p, poses_gt)
+    assert err_p.max() < err_d.max() * 1.5 + 1e-3
+
+
+def test_pcg_large_chain_with_loops():
+    """KITTI-seq00-scale regime: a 400-node noisy chain with 5 loop
+    closures; solver='auto' must route to PCG (above _DENSE_MAX_NODES),
+    converge, and collapse the drift — without ever materializing the
+    (K6, K6) Hessian (2.3 GB dense at this K)."""
+    import time
+
+    from vslam_tpu.ba.pose_graph import _DENSE_MAX_NODES
+
+    rng = np.random.default_rng(7)
+    K = 400
+    assert K > _DENSE_MAX_NODES
+    poses_gt = [np.eye(4)]
+    step = np.array([0.4, 0.0, 0.05, 0.0, 2 * np.pi / K, 0.0])
+    for k in range(1, K):
+        poses_gt.append(lie_np.exp(step) @ poses_gt[-1])
+
+    edges = []
+    for k in range(K - 1):
+        rel_true = lie_np.relative(poses_gt[k], poses_gt[k + 1])
+        noise = lie_np.exp(rng.normal(0, 0.01, 6))
+        edges.append((k, k + 1, noise @ rel_true, 1.0))
+    # loop closures at regular spacing (exact, high information)
+    for a, b in [(K - 1, 0), (K // 2, 0), (3 * K // 4, K // 4),
+                 (K - 1, K // 2), (K // 3, 0)]:
+        edges.append((a, b, lie_np.relative(poses_gt[a], poses_gt[b]), 100.0))
+
+    init = [np.eye(4)]
+    for k in range(K - 1):
+        init.append(edges[k][2] @ init[-1])
+
+    E = len(edges)
+    g = PoseGraph(
+        poses=SE3(
+            jnp.asarray(np.stack([T[:3, :3] for T in init]), jnp.float32),
+            jnp.asarray(np.stack([T[:3, 3] for T in init]), jnp.float32),
+        ),
+        edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        edge_rel=SE3(
+            jnp.asarray(np.stack([e[2][:3, :3] for e in edges]), jnp.float32),
+            jnp.asarray(np.stack([e[2][:3, 3] for e in edges]), jnp.float32),
+        ),
+        edge_info=jnp.asarray(np.stack([np.eye(6) * e[3] for e in edges]), jnp.float32),
+        edge_mask=jnp.ones(E, bool),
+    )
+
+    t0 = time.perf_counter()
+    opt, c0, c1 = optimize_pose_graph(g, max_iterations=30, max_cg=512)
+    elapsed = time.perf_counter() - t0
+    assert float(c1) < 0.05 * float(c0), (float(c0), float(c1))
+    err_init = _pose_errors(SE3(g.poses.R, g.poses.t), poses_gt)
+    err_opt = _pose_errors(opt, poses_gt)
+    assert err_opt.max() < 0.3 * err_init.max(), (err_init.max(), err_opt.max())
+    assert elapsed < 300, f"400-node PCG graph took {elapsed:.0f}s"

@@ -14,10 +14,19 @@ Scaling design (TPU-first):
 - Per-edge 6x12 Jacobian blocks via a vmapped 12-input jacfwd (exact, O(E)
   work) — NOT jacfwd over the stacked (K*6)-dim state, which is O(K*E) and
   dominated the old dense formulation.
-- The Gauss-Newton Hessian is assembled by scatter-add of the 4 per-edge
-  6x6 blocks into the (K,6,K,6) system — block-sparse structure, dense
-  storage (K=1000 nodes is 144 MB f32; the 6K-dim Cholesky solve is a few
-  GFLOP on the MXU, negligible).
+- Two linear solvers behind one interface:
+  * ``dense`` — scatter-assembled (K,6,K,6) Hessian + one 6K-dim solve.
+    Exact, fine up to a few hundred nodes; storage/solve grow as K^2/K^3
+    (144 MB f32 and a 2e11-FLOP factorization at K=1000).
+  * ``pcg`` — MATRIX-FREE block-Jacobi preconditioned conjugate gradient:
+    Hv products are computed edge-wise (two vmapped 6x6 block multiplies +
+    segment-sum scatters, O(E) work and memory per matvec); the
+    preconditioner is the inverse of the damped per-node 6x6 diagonal
+    blocks. H is never materialized, so cost scales with edges (chain +
+    loop closures: E ~ K), not K^2 — the KITTI-seq00 regime (~900 keyframes
+    at kf_period 5). Inexact inner solves are safe under LM's
+    accept-on-chi2-decrease rule (inexact Newton).
+  ``auto`` (default) picks pcg above _DENSE_MAX_NODES.
 - Static shapes throughout: `pad_pose_graph` buckets (K, E) so the live
   backend re-optimizes a growing graph with a bounded number of recompiles;
   padding edges are masked, padding nodes frozen like the gauge.
@@ -90,18 +99,64 @@ _edge_jac = jax.vmap(
 _edge_res = jax.vmap(_edge_residual, in_axes=(0, 0, 0, 0, 0))
 
 
+# above this node count, solver="auto" switches from the exact dense solve
+# to matrix-free PCG (dense storage is K^2 * 36 floats; 256 nodes = 9.4 MB
+# and a 3.6e9-FLOP factorization — still cheap; 1000 nodes is not)
+_DENSE_MAX_NODES = 256
+
+
+def _pcg(matvec, minv, b, max_cg: int, rtol: float):
+    """Preconditioned CG on the (K, 6) tangent-space layout. Early-exits on
+    ||r|| <= rtol ||b|| under a static iteration cap; every iteration is two
+    O(E) edge sweeps (matvec) plus O(K) vector work."""
+    dtype = b.dtype
+    b2 = jnp.sum(b * b)
+    x = jnp.zeros_like(b)
+    r = b
+    z = minv(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def cond(c):
+        i, x, r, z, p, rz = c
+        return (i < max_cg) & (jnp.sum(r * r) > rtol * rtol * b2)
+
+    def body(c):
+        i, x, r, z, p, rz = c
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp > 0, pAp, jnp.asarray(1.0, dtype))
+        alpha = jnp.where(pAp > 0, alpha, jnp.asarray(0.0, dtype))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz != 0, rz, jnp.asarray(1.0, dtype))
+        p = z + beta * p
+        return i + 1, x, r, z, p, rz_new
+
+    out = jax.lax.while_loop(cond, body, (jnp.asarray(0), x, r, z, p, rz))
+    return out[1]
+
+
 def optimize_pose_graph(
     g: PoseGraph,
     max_iterations: int = 30,
     lambda0: float = 1e-4,
     node_mask: Optional[jax.Array] = None,
+    solver: str = "auto",
+    max_cg: int = 256,
+    cg_rtol: float = 1e-6,
 ) -> Tuple[SE3, jax.Array, jax.Array]:
     """On-manifold LM. Returns (poses, chi2_before, chi2_after).
     ``node_mask`` marks live nodes (padding nodes are frozen); node 0 is
-    always the gauge anchor."""
+    always the gauge anchor. ``solver``: "dense" | "pcg" | "auto" (see
+    module docstring)."""
     K = g.poses.t.shape[0]
     E = g.edge_i.shape[0]
     dtype = g.poses.t.dtype
+    if solver == "auto":
+        solver = "pcg" if K > _DENSE_MAX_NODES else "dense"
 
     free = (jnp.arange(K) > 0) if node_mask is None else ((jnp.arange(K) > 0) & node_mask)
     free6 = jnp.repeat(free, 6)
@@ -119,8 +174,9 @@ def optimize_pose_graph(
         rw = jnp.einsum("eab,eb->ea", Lt, r) * wmask
         return jnp.sum(rw * rw)
 
-    def normal_equations(T: SE3):
-        """Scatter-assembled H (K6, K6), b (K6), chi2 at T."""
+    def edge_terms(T: SE3):
+        """Whitened per-edge residuals + Jacobian blocks (shared by both
+        linear solvers): rw (E, 6), Jiw/Jjw (E, 6, 6)."""
         Ti, Tj = gather(T, g.edge_i), gather(T, g.edge_j)
         z6 = jnp.zeros((E, 6), dtype)
         r = _edge_res(z6, z6, Ti, Tj, g.edge_rel)
@@ -128,9 +184,13 @@ def optimize_pose_graph(
         rw = jnp.einsum("eab,eb->ea", Lt, r) * wmask
         Jiw = jnp.einsum("eab,ebc->eac", Lt, Ji) * wmask[:, :, None]
         Jjw = jnp.einsum("eab,ebc->eac", Lt, Jj) * wmask[:, :, None]
+        return rw, Jiw, Jjw
 
+    bt = lambda A, B: jnp.einsum("eba,ebc->eac", A, B)  # A^T B per edge
+
+    def solve_dense(rw, Jiw, Jjw, lam):
+        """Scatter-assemble the (K6, K6) Hessian and solve exactly."""
         H = jnp.zeros((K, 6, K, 6), dtype)
-        bt = lambda A, B: jnp.einsum("eba,ebc->eac", A, B)  # A^T B per edge
         H = H.at[g.edge_i, :, g.edge_i, :].add(bt(Jiw, Jiw))
         H = H.at[g.edge_i, :, g.edge_j, :].add(bt(Jiw, Jjw))
         H = H.at[g.edge_j, :, g.edge_i, :].add(bt(Jjw, Jiw))
@@ -138,17 +198,48 @@ def optimize_pose_graph(
         b = jnp.zeros((K, 6), dtype)
         b = b.at[g.edge_i].add(jnp.einsum("eba,eb->ea", Jiw, rw))
         b = b.at[g.edge_j].add(jnp.einsum("eba,eb->ea", Jjw, rw))
-        return H.reshape(K * 6, K * 6), b.reshape(K * 6), jnp.sum(rw * rw)
-
-    def body(carry):
-        T, c_prev, lam, it, done = carry
-        H, b, _ = normal_equations(T)
+        H = H.reshape(K * 6, K * 6)
+        b = b.reshape(K * 6)
         # gauge + frozen nodes: identity rows/cols
         H = jnp.where(free6[:, None] & free6[None, :], H, 0.0)
         H = H + jnp.diag(jnp.where(free6, lam, 1.0))
         b = jnp.where(free6, b, 0.0)
-        dx = jnp.linalg.solve(H, b)
-        delta = (-dx).reshape(K, 6)
+        return jnp.linalg.solve(H, b).reshape(K, 6)
+
+    def solve_pcg(rw, Jiw, Jjw, lam):
+        """Matrix-free block-Jacobi PCG on the same damped/gauged system."""
+        fm = free[:, None].astype(dtype)  # (K, 1)
+        seg = lambda vals, idx: jax.ops.segment_sum(vals, idx, num_segments=K)
+        b = (
+            seg(jnp.einsum("eba,eb->ea", Jiw, rw), g.edge_i)
+            + seg(jnp.einsum("eba,eb->ea", Jjw, rw), g.edge_j)
+        ) * fm
+
+        # damped per-node diagonal blocks; frozen nodes get identity
+        D = seg(bt(Jiw, Jiw), g.edge_i) + seg(bt(Jjw, Jjw), g.edge_j)
+        D = D * fm[:, :, None] * fm[:, None, :]
+        eye6 = jnp.eye(6, dtype=dtype)
+        D = jnp.where(free[:, None, None], D + lam * eye6, eye6)
+        Dinv = jnp.linalg.inv(D)
+
+        def matvec(v):  # v (K, 6); identity on frozen rows, H + lam I on free
+            vf = v * fm
+            u = jnp.einsum("eab,eb->ea", Jiw, vf[g.edge_i]) + jnp.einsum(
+                "eab,eb->ea", Jjw, vf[g.edge_j]
+            )
+            y = seg(jnp.einsum("eba,eb->ea", Jiw, u), g.edge_i) + seg(
+                jnp.einsum("eba,eb->ea", Jjw, u), g.edge_j
+            )
+            return (y + lam * vf) * fm + (v - vf)
+
+        minv = lambda r: jnp.einsum("kab,kb->ka", Dinv, r)
+        return _pcg(matvec, minv, b, max_cg=max_cg, rtol=cg_rtol)
+
+    def body(carry):
+        T, c_prev, lam, it, done = carry
+        rw, Jiw, Jjw = edge_terms(T)
+        dx = (solve_pcg if solver == "pcg" else solve_dense)(rw, Jiw, Jjw, lam)
+        delta = -dx
         T_new = se3.compose(se3.exp(delta), T)
         c_new = chi2_of(T_new)
         accept = (c_new < c_prev) & jnp.isfinite(c_new)
@@ -170,4 +261,7 @@ def optimize_pose_graph(
     return se3.orthonormalize(T_fin), c0, c_fin
 
 
-optimize_pose_graph_jit = jax.jit(optimize_pose_graph, static_argnames=("max_iterations",))
+optimize_pose_graph_jit = jax.jit(
+    optimize_pose_graph,
+    static_argnames=("max_iterations", "solver", "max_cg", "cg_rtol"),
+)
