@@ -54,6 +54,12 @@ class LoopCandidate(NamedTuple):
     rel: np.ndarray  # 4x4, T_new . T_old^-1 (world->cam convention)
     n_inliers: int
     info: np.ndarray  # (6, 6) edge information
+    # MEASURED translation standard error of the Horn fit: rms inlier 3-D
+    # residual / sqrt(n_inliers). Unlike `info` (a scale-free heuristic
+    # weight for the pose graph), this carries the scene's real metric noise
+    # — the online-fold significance gate compares the claimed drift
+    # against it (graph_backend.try_close).
+    sigma_t: float = 0.0
 
 
 def estimate_rel_3d3d(
@@ -252,5 +258,16 @@ class KeyframeDatabase:
                 # stiffer than translation (point noise couples into t first)
                 info = np.eye(6) * (n_inl * 10.0)
                 info[3:, 3:] *= 4.0
-                best = LoopCandidate(kf_id=e.kf_id, rel=T, n_inliers=n_inl, info=info)
+                # measured standard error of the fitted translation: rms
+                # inlier residual of T applied to the matched 3-D points,
+                # shrunk by sqrt(n) (the Horn estimate averages n points)
+                po, pn = p_old[geom][inl], p_new[geom][inl]
+                r3 = pn - (po @ T[:3, :3].T + T[:3, 3])
+                sigma_t = float(
+                    np.sqrt(np.mean(np.sum(r3 * r3, axis=1)) / max(n_inl, 1))
+                )
+                best = LoopCandidate(
+                    kf_id=e.kf_id, rel=T, n_inliers=n_inl, info=info,
+                    sigma_t=sigma_t,
+                )
         return best

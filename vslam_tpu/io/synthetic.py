@@ -378,6 +378,35 @@ def loop_trajectory(
     return poses
 
 
+def orbit_trajectory(
+    n_frames: int,
+    radius: float = 0.2,
+    height: float = 0.05,
+    yaw: float = 0.1,
+) -> list:
+    """Closed circular orbit in the x/y plane, always facing the scene:
+    the camera traverses a circle and returns EXACTLY to the start pose
+    without ever retracing its path. Unlike `loop_trajectory` (out-and-back,
+    where odometry drift on the return leg anti-correlates with the outbound
+    leg and largely self-cancels at the revisit), a non-retracing orbit
+    accumulates drift monotonically around the loop — the closure at the
+    revisit observes the FULL accumulated drift, which is the regime where
+    online correction folding is signal-dominated (the classic loop-closure
+    demonstration). Constant-speed circular motion = constant twist, so
+    constant-motion prediction stays valid."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / max(n_frames - 1, 1)
+        T = np.eye(4)
+        T[0, 3] = radius * np.sin(th)
+        T[1, 3] = radius * (1.0 - np.cos(th)) * 0.5 + height * np.sin(2 * th)
+        xi = np.zeros(6)
+        xi[4] = yaw * np.sin(th)  # gentle yaw wiggle keeps views distinct
+        T = T @ lie_np.exp(xi)
+        poses.append(T)
+    return poses
+
+
 def smooth_trajectory(
     n_frames: int,
     dt: float = 1.0 / 30.0,

@@ -26,7 +26,24 @@ __all__ = ["PoseGraphBackend"]
 
 
 class PoseGraphBackend:
-    def __init__(self, cfg: LoopClosureConfig = LoopClosureConfig(), odo_info_scale: float = 1e2):
+    def __init__(
+        self,
+        cfg: LoopClosureConfig = LoopClosureConfig(),
+        odo_info_scale: float = 1e2,
+        fold_min_span_frac: float = 0.5,
+    ):
+        # fold_min_span_frac: online-fold policy (round 5). A fold's benefit
+        # scales with the accumulated drift over the closure's SPAN (current
+        # keyframe index - matched keyframe index); its cost is the closure
+        # noise it injects into the live chain. Short/mid-span closures
+        # (local consistency information) therefore update the graph — they
+        # sharpen post-run anchoring — but only closures spanning at least
+        # this fraction of the keyframe history (true revisits correcting
+        # accumulated drift) fold into the live pose chain. Measured on the
+        # 480x640 orbit: folding all significant closures 0.0140 -> 0.0202
+        # online ATE (15 small mid-span folds of pure noise); span-gated
+        # folding is what lets the online estimate win.
+        self.fold_min_span_frac = float(fold_min_span_frac)
         self.db = KeyframeDatabase(cfg)
         self.kf_ids: List[int] = []
         self.kf_poses: Dict[int, np.ndarray] = {}  # id -> world->cam 4x4
@@ -35,6 +52,20 @@ class PoseGraphBackend:
         self.n_closures = 0
         self._odo_info = np.eye(6) * odo_info_scale
         self._log = get_logger("mapping")
+        # telemetry: wall seconds of the most recent / slowest pose-graph
+        # solve (includes compile on first use of a bucket size) — the
+        # bench's KITTI-scale gate reports these to evidence solver scaling
+        self.last_solve_s = 0.0
+        self.max_solve_s = 0.0
+        self.last_solve_nodes = 0
+        # Online-fold significance of the most recent closure: True when the
+        # correction the optimization applied to the CURRENT keyframe
+        # exceeds the closure edge's own measured noise (see try_close) —
+        # i.e. the closure detected real drift, not its own fit jitter.
+        # Consumers (sequential_mapping / pipeline) fold the correction into
+        # the live pose chain only when this is set; the graph/anchoring
+        # state updates regardless.
+        self.last_closure_significant = True
 
     def add_keyframe(self, frame) -> None:
         """Register a keyframe (HostFrame with extracted features) and the
@@ -72,7 +103,35 @@ class PoseGraphBackend:
         )
         self.edges.append((cand.kf_id, frame.id, cand.rel, cand.info))
         self.n_closures += 1
-        return self._optimize()
+        pose_before = self.kf_poses[frame.id].copy()
+        out = self._optimize()
+        # Significance gate for the ONLINE fold (round 5): folding a
+        # correction whose magnitude is below the closure fit's measured
+        # standard error injects measurement noise into a pose chain that
+        # may be drifting LESS than that noise (measured: TUM-scale online
+        # ATE 0.0043 -> 0.0051 from noise-dominated folds, while KITTI-scale
+        # corrections are drift-dominated and folding wins). Gate:
+        # |delta_t| > 3 sigma_t of the Horn fit (+ the same absolute floor
+        # the BA gate uses). The graph itself keeps every correction —
+        # post-run anchoring is unaffected.
+        d = lie_np.log(lie_np.inv(pose_before) @ out[frame.id])
+        thresh = max(3.0 * float(getattr(cand, "sigma_t", 0.0)), 1e-3)
+        try:
+            span = len(self.kf_ids) - 1 - self.kf_ids.index(cand.kf_id)
+        except ValueError:
+            span = 0
+        span_frac = span / max(len(self.kf_ids) - 1, 1)
+        self.last_closure_significant = bool(
+            np.linalg.norm(d[:3]) > thresh
+            and span_frac >= self.fold_min_span_frac
+        )
+        if not self.last_closure_significant:
+            self._log.warning(
+                "closure correction %.4f m (3*sigma_t %.4f, span %.2f of "
+                "history) — not folded online",
+                float(np.linalg.norm(d[:3])), thresh, span_frac,
+            )
+        return out
 
     def _optimize(self) -> Dict[int, np.ndarray]:
         ids = self.kf_ids
@@ -100,9 +159,17 @@ class PoseGraphBackend:
 
         bucket = pow2_bucket
         g, node_mask = pad_pose_graph(g, bucket(K), bucket(E))
+        import time as _time
+
+        t_solve = _time.perf_counter()
+        # solver="auto": matrix-free block-Jacobi PCG above
+        # pose_graph._DENSE_MAX_NODES padded nodes, exact dense below
         opt, c0, c1 = optimize_pose_graph_jit(g, node_mask=node_mask)
         R = np.asarray(opt.R, np.float64)
         t = np.asarray(opt.t, np.float64)
+        self.last_solve_s = _time.perf_counter() - t_solve
+        self.max_solve_s = max(self.max_solve_s, self.last_solve_s)
+        self.last_solve_nodes = K
         out: Dict[int, np.ndarray] = {}
         for k, fid in enumerate(ids):
             T = np.eye(4)

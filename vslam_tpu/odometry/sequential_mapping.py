@@ -9,7 +9,8 @@ pipeline (`pipeline.py`), but batched per chunk:
 - The device scan flags keyframes (`is_kf` output); only those frames get
   host-side Frame pyramids + features (1 in kf_period frames).
 - BA / loop-closure corrections are folded back into the DEVICE pose chain
-  as one world-frame delta before the next chunk dispatches
+  as one right-composed delta (pose' = pose . T_est^-1 . T_corr, pivoting
+  at the corrected keyframe) before the next chunk dispatches
   (`SequentialOdometry._apply_correction`), so the backend steers future
   tracking exactly like the reference's write-back (`Map::updatePoses`).
 """
@@ -46,8 +47,10 @@ def anchor_trajectory(
     poses; corrections fold into the DEVICE chain when they land, so frames
     solved BEFORE a closure keep their drifted history. After the run, each
     frame is rewritten relative to the latest keyframe at-or-before it:
-    ``T' = T_kf_final @ inv(T_kf_output) @ T`` — exact for keyframes, and
-    intermediate frames keep their odometry-relative motion (the standard
+    ``T' = T @ inv(T_kf_output) @ T_kf_final`` — exact for keyframes, and
+    intermediate frames keep their measured CAMERA-relative motion off the
+    corrected keyframe (right composition; a left-composed world-frame
+    delta would rotate them about the world origin instead — the standard
     post-optimization trajectory assembly; the reference's backend stops at
     windowed BA, NodeMapping.cpp:162-170, so it has no equivalent).
 
@@ -62,7 +65,7 @@ def anchor_trajectory(
         T_out = out_by_t.get(int(t_kf))
         if T_out is None:
             continue
-        anchors.append((int(t_kf), np.asarray(T_final, np.float64) @ lie_np.inv(T_out)))
+        anchors.append((int(t_kf), lie_np.inv(T_out) @ np.asarray(T_final, np.float64)))
     if not anchors:
         return results
     anchor_ts = np.asarray([a[0] for a in anchors], np.int64)
@@ -70,7 +73,7 @@ def anchor_trajectory(
     for t_ns, T, cov in results:
         k = int(np.searchsorted(anchor_ts, int(t_ns), side="right")) - 1
         delta = anchors[k][1] if k >= 0 else np.eye(4)
-        corrected.append((t_ns, delta @ np.asarray(T, np.float64), cov))
+        corrected.append((t_ns, np.asarray(T, np.float64) @ delta, cov))
     return corrected
 
 
@@ -370,8 +373,9 @@ class ChunkMappingBackend:
         device_images: Optional[Tuple] = None,  # staged (K,H,W) chunk arrays
         detect_out: Optional[Tuple] = None,  # pre-dispatched dispatch_detect
     ) -> Optional[np.ndarray]:
-        """Run the keyframe backend over one chunk. Returns a 4x4 world-frame
-        correction to fold into the device state, or None.
+        """Run the keyframe backend over one chunk. Returns a 4x4
+        right-composed correction (T_est^-1 . T_corr of the corrected
+        keyframe) to fold into the device state, or None.
 
         ``device_images``, when given, carries the scan's already-staged
         native-dtype (intensity, depth/right) chunk arrays — keyframe frames
@@ -490,7 +494,16 @@ class ChunkMappingBackend:
                         for fid, T in corrections.items():
                             if fid in in_window:
                                 self.map.update_pose(fid, T)
-                        delta = corrections[frame.id] @ lie_np.inv(est_pose)
+                        # online fold only when the correction exceeds the
+                        # closure fit's own noise (graph_backend.try_close);
+                        # "always" keeps reference Map::updatePoses semantics
+                        if (
+                            self._graph.last_closure_significant
+                            or self.pose_write_back == "always"
+                        ):
+                            # right-composed: pose' = pose . (est^-1 corr)
+                            # (SequentialOdometry._apply_correction)
+                            delta = lie_np.inv(est_pose) @ corrections[frame.id]
             except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
                 self._log.warning("chunk mapping backend failed: %s", exc)
         if self.ba_schedule == "chunk" and last_frame is not None:
@@ -517,7 +530,7 @@ class ChunkMappingBackend:
         if err1 < err0 and self._ba_sane(ba_poses):
             self.map.update_points(points)
             corrected = ba_poses[frame.id]
-            d = corrected @ lie_np.inv(est_pose)
+            d = lie_np.inv(est_pose) @ corrected  # right-composed delta
             if self.pose_write_back == "always":
                 # reference semantics: persist every BA pose
                 self.map.update_poses(ba_poses)

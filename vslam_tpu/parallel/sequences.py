@@ -64,13 +64,17 @@ class StagedSuiteChunk(NamedTuple):
 
 @jax.jit
 def _fold_corrections(states: SequentialState, dR: jax.Array, dt: jax.Array):
-    """Left-compose per-sequence world-frame corrections (identity rows for
-    uncorrected sequences) onto the batched pose chain."""
+    """RIGHT-compose per-sequence corrections (identity rows for
+    uncorrected sequences) onto the batched pose chain: pose' = pose . d
+    with d = T_est^-1 . T_corr — chains future poses off the corrected
+    keyframe, preserving measured camera-relative motion (see
+    SequentialOdometry._apply_correction for why left composition is
+    wrong)."""
 
     def comp(p: SE3) -> SE3:
         return jax.vmap(
             lambda ddR, ddt, pR, pt: se3.orthonormalize(
-                se3.compose(SE3(ddR, ddt), SE3(pR, pt))
+                se3.compose(SE3(pR, pt), SE3(ddR, ddt))
             )
         )(dR, dt, p.R, p.t)
 
@@ -363,7 +367,7 @@ class MultiSequenceOdometry:
                     # SequentialOdometry._retire
                     kf_rows, results = rows
                     for s, d in prev_deltas.items():
-                        results[s] = [(t, d @ T, c) for (t, T, c) in results[s]]
+                        results[s] = [(t, T @ d, c) for (t, T, c) in results[s]]
                     rows = (kf_rows, results)
                 work = (rows, stamps, inten, depth, args[1], args[2])
                 if self.async_mapping:
