@@ -369,7 +369,8 @@ def test_cli_odometry_with_reference_yaml(mini_dataset, tmp_path, capsys):
     assert res["ate_rmse_m"] < 0.02, res
 
 
-def test_cli_reproduce_dry_run(mini_dataset, tmp_path, capsys):
+@pytest.mark.quick  # the one command that matters on a dataset-connected
+def test_cli_reproduce_dry_run(mini_dataset, tmp_path, capsys):  # machine
     """`vslam-run reproduce` — the one-command readiness artifact for the
     real fr2_desk replication (VERDICT r3 item 3): replay + OPTION-EXACT
     reference RPE (--fixed_delta --delta_unit s) + ATE protocols + pass/fail
@@ -405,3 +406,25 @@ def test_cli_reproduce_dry_run(mini_dataset, tmp_path, capsys):
     )
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and res["pass"] is False
+
+
+@pytest.mark.quick
+def test_cli_reproduce_usage_error_exit_2(mini_dataset, tmp_path, capsys):
+    """Exit code 2 = usage error (the reproduce contract's third code): a
+    dataset without ground truth cannot be scored. Copies the fixture's
+    stream files but not groundtruth.txt."""
+    import shutil
+
+    broken = tmp_path / "no_gt"
+    shutil.copytree(mini_dataset, broken)
+    (broken / "groundtruth.txt").unlink()
+    rc = cli_main(
+        [
+            "reproduce",
+            "--dataset", str(broken),
+            "--out", str(tmp_path / "t.txt"),
+            "--intrinsics", f"{FX},{FX},{(W-1)/2},{(H-1)/2}",
+        ]
+    )
+    capsys.readouterr()
+    assert rc == 2

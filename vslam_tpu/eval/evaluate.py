@@ -47,6 +47,12 @@ def _cmd_odometry(args) -> int:
         # loop publishes per frame, the fused scan per retired chunk
         cfg = dataclasses.replace(cfg, live_viz_port=args.live_viz)
     if len(args.dataset) > 1:
+        if cfg.live_viz_port is not None:
+            log.warning(
+                "--live-viz is not supported with multiple --dataset values "
+                "(the batched multi-sequence scan has no per-frame host loop "
+                "to publish from); ignoring it"
+            )
         return _cmd_odometry_multi(args, cfg, log)
     args.dataset = args.dataset[0]
     if args.format == "kitti":
@@ -556,6 +562,10 @@ def _cmd_reproduce(args) -> int:
         no_eval=True,
         log_level=args.log_level,
         profile_dir=None,
+        # r4's --live-viz flag broke this hand-built namespace until the
+        # reproduce e2e test joined the quick tier (the exact rot VERDICT r4
+        # item 6 predicted); no viewer during a reproduce replay
+        live_viz=None,
     )
     rc = _cmd_odometry(odo_args)
     if rc != 0:

@@ -44,6 +44,13 @@ class MotionPrediction:
         (NodeMapping.cpp:263). Zero for models without a velocity state."""
         return np.zeros(6)
 
+    def speed_host(self) -> np.ndarray:
+        """Host-cached twist for per-frame display/publish paths: must never
+        touch the device (the Kalman model's filtered velocity lives in a JAX
+        array; reading it per frame would block on a host-device transfer).
+        Defaults to speed(), which is host-side for every non-device model."""
+        return self.speed()
+
 
 class MotionPredictionNoMotion(MotionPrediction):
     """Prediction = last pose (MotionPrediction.h:36-60)."""
@@ -94,6 +101,7 @@ class MotionPredictionKalman(MotionPrediction):
         self._R = jnp.eye(6, dtype=jnp.float32) * measurement_noise
         self._pose = np.eye(4)
         self._t_ns = 0
+        self._speed_host = np.zeros(6)  # measured odometry twist (see speed_host)
 
     def _pose_np(self, g: SE3) -> np.ndarray:
         T = np.eye(4)
@@ -114,6 +122,7 @@ class MotionPredictionKalman(MotionPrediction):
         dt = (int(t_ns) - self._t_ns) / _NS
         if dt > 0 and self._t_ns > 0:
             speed = lie_np.log(lie_np.relative(self._pose, pose)) / dt
+            self._speed_host = np.asarray(speed, np.float64)
             state, _ = ekf_se3.predict(self._state, dt)
             # re-anchor the filter pose at the measured odometry pose
             state = ekf_se3.EkfState(
@@ -149,6 +158,13 @@ class MotionPredictionKalman(MotionPrediction):
 
     def speed(self) -> np.ndarray:
         return np.asarray(self._state.velocity, np.float64)
+
+    def speed_host(self) -> np.ndarray:
+        """The measured odometry twist cached at update() time — what the
+        reference actually publishes as the /odom twist (Odometry.cpp:44-50
+        computes speed from consecutive poses); reading the filtered velocity
+        would block on a device transfer on the per-frame publish path."""
+        return self._speed_host.copy()
 
 
 def make_motion_prediction(model: str) -> MotionPrediction:

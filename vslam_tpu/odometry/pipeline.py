@@ -290,15 +290,18 @@ class OdometryPipeline:
                     if corrections:
                         # write corrected keyframe poses back into the live
                         # window and re-anchor the current pose on the
-                        # corrected loop-closing keyframe
+                        # corrected loop-closing keyframe — the live pose
+                        # only when the correction beats the closure fit's
+                        # measured noise (graph_backend.try_close)
                         in_window = {f.id for f in self.map.keyframes()} | {
                             f.id for f in self.map.frames()
                         }
                         for fid, T in corrections.items():
                             if fid in in_window:
                                 self.map.update_pose(fid, T)
-                        frame.pose = corrections.get(frame.id, frame.pose)
-                        self.prediction.update(frame.pose, t_ns, cov=frame.cov)
+                        if self._graph.last_closure_significant:
+                            frame.pose = corrections.get(frame.id, frame.pose)
+                            self.prediction.update(frame.pose, t_ns, cov=frame.cov)
             except Exception as exc:  # graceful degradation, NodeMapping.cpp:176-178
                 self._log.warning("mapping backend failed: %s", exc)
 
@@ -317,7 +320,7 @@ class OdometryPipeline:
         NodeMapping.cpp:255-271), keyframe markers, and the current map
         cloud on keyframes when the mapping backend is live."""
         self.viz.publish_odometry(
-            t_ns, frame.pose, cov=frame.cov, twist=self.prediction.speed()
+            t_ns, frame.pose, cov=frame.cov, twist=self.prediction.speed_host()
         )
         if is_kf:
             self.viz.publish_keyframe(t_ns, frame.pose)

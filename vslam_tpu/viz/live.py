@@ -15,8 +15,12 @@ stdlib only:
 - A background ``ThreadingHTTPServer`` exposes the state:
   ``GET /state.json`` is the message bus (poll it from any tool), and
   ``GET /`` serves a self-contained HTML page that polls state.json and
-  renders a top-down SVG trajectory with pose/covariance/fps readouts —
-  the RViz view, in a browser, with zero extra dependencies.
+  renders an ORBITABLE 3-D SVG view (drag to orbit, wheel to zoom;
+  default orientation is the top-down x/z view) of the trajectory,
+  keyframes, map points, and the current pose's RGB axis triad from the
+  published quaternion, with pose/covariance/fps readouts — the RViz
+  odom_eval view (reference config/rviz/odom_eval.rviz:107,181-183), in
+  a browser, with zero extra dependencies.
 
 Conventions: publishers take WORLD->CAMERA poses (the pipeline's native
 ``Frame::pose`` convention) and the viewer displays camera-in-world, the
@@ -59,17 +63,73 @@ _PAGE = """<!DOCTYPE html>
  #panel{padding:12px;min-width:260px}
  #panel h1{font-size:14px;margin:0 0 8px}
  #panel td{padding:1px 6px 1px 0}
- svg{flex:1;height:100vh;background:#181818}
+ #hint{color:#777;margin-top:10px}
+ svg{flex:1;height:100vh;background:#181818;cursor:grab}
  .path{fill:none;stroke:#4cc;stroke-width:1.5}
  .kf{fill:#fa0}.lm{fill:#555}.cur{fill:#f44}
+ .ax{fill:none;stroke-width:2}
 </style></head><body>
-<div id="panel"><h1>vslam_tpu live</h1><table id="stats"></table></div>
+<div id="panel"><h1>vslam_tpu live</h1><table id="stats"></table>
+<div id="hint">drag: orbit &middot; wheel: zoom<br>
+3-D view (RViz odom_eval role): path, keyframes,<br>
+map points, current pose axes (x red / y green / z blue)</div></div>
 <svg id="view" viewBox="-1 -1 2 2" preserveAspectRatio="xMidYMid meet"></svg>
 <script>
 const fmt=(x,n=3)=>Number(x).toFixed(n);
+// orbit state: default reproduces the old top-down x/z view
+let yaw=0, pitch=Math.PI/2, zoom=1, drag=null, S=null;
+const view=document.getElementById('view');
+view.addEventListener('mousedown',e=>{drag=[e.clientX,e.clientY]});
+window.addEventListener('mouseup',()=>{drag=null});
+window.addEventListener('mousemove',e=>{
+ if(!drag)return;
+ yaw+=(e.clientX-drag[0])*0.01; pitch+=(e.clientY-drag[1])*0.01;
+ pitch=Math.max(-Math.PI/2,Math.min(Math.PI/2,pitch));
+ drag=[e.clientX,e.clientY]; if(S)draw(S);});
+view.addEventListener('wheel',e=>{
+ e.preventDefault(); zoom*=Math.exp(-e.deltaY*0.001); if(S)draw(S);},
+ {passive:false});
+function quat2R(q){ // [x,y,z,w] -> row-major 3x3
+ const[x,y,z,w]=q;
+ return[[1-2*(y*y+z*z),2*(x*y-z*w),2*(x*z+y*w)],
+        [2*(x*y+z*w),1-2*(x*x+z*z),2*(y*z-x*w)],
+        [2*(x*z-y*w),2*(y*z+x*w),1-2*(x*x+y*y)]];}
+function draw(s){
+ const path=s.path; if(!path.length) return;
+ const n=path.length;
+ const c=[0,1,2].map(k=>path.reduce((a,p)=>a+p[k],0)/n);
+ let span=0.1;
+ for(const p of path) span=Math.max(span,
+   Math.abs(p[0]-c[0]),Math.abs(p[1]-c[1]),Math.abs(p[2]-c[2]));
+ span=span*2.3/zoom;
+ const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ // orbit camera: yaw about world y, then pitch; orthographic projection
+ const proj=p=>{
+  const x=p[0]-c[0], y=p[1]-c[1], z=p[2]-c[2];
+  const x1=cy*x+sy*z, z1=-sy*x+cy*z;
+  const y2=cp*y-sp*z1;
+  return[x1/span*2, y2/span*2];};
+ const P=path.map(proj);
+ const pts=P.map(q=>`${q[0]},${q[1]}`).join(' ');
+ const kfs=s.keyframes.map(p=>{const q=proj(p);
+  return `<circle class="kf" cx="${q[0]}" cy="${q[1]}" r="0.016"/>`}).join('');
+ const lms=s.landmarks.map(p=>{const q=proj(p);
+  return `<circle class="lm" cx="${q[0]}" cy="${q[1]}" r="0.006"/>`}).join('');
+ // current pose axes from the published quaternion (camera-in-world)
+ const R=quat2R(s.quaternion), o=s.position, L=span*0.06;
+ const axes=[0,1,2].map(k=>{
+  const tip=[o[0]+R[0][k]*L, o[1]+R[1][k]*L, o[2]+R[2][k]*L];
+  const a=proj(o), b=proj(tip), col=['#f44','#4f4','#46f'][k];
+  return `<polyline class="ax" stroke="${col}" points="${a[0]},${a[1]} ${b[0]},${b[1]}"/>`;
+ }).join('');
+ const last=proj(path[n-1]);
+ view.innerHTML=lms+`<polyline class="path" points="${pts}"/>`+kfs+
+  `<circle class="cur" cx="${last[0]}" cy="${last[1]}" r="0.02"/>`+axes;
+}
 async function tick(){
  try{
   const s=await (await fetch('state.json')).json();
+  S=s;
   const rows=[['frames',s.n_frames],['keyframes',s.n_keyframes],
    ['landmarks',s.n_landmarks],['fps',fmt(s.fps,1)],
    ['t (s)',fmt(s.t_ns/1e9,3)],
@@ -78,21 +138,7 @@ async function tick(){
    ['sigma_t (m)',fmt(s.sigma_translation,5)]];
   document.getElementById('stats').innerHTML=
    rows.map(r=>`<tr><td>${r[0]}</td><td>${r[1]}</td></tr>`).join('');
-  const xs=s.path.map(p=>p[0]), zs=s.path.map(p=>p[2]);
-  if(!xs.length) return;
-  const lo=[Math.min(...xs),Math.min(...zs)], hi=[Math.max(...xs),Math.max(...zs)];
-  const c=[(lo[0]+hi[0])/2,(lo[1]+hi[1])/2];
-  const span=Math.max(hi[0]-lo[0],hi[1]-lo[1],0.1)*1.15;
-  const X=x=>(x-c[0])/span*2, Z=z=>(z-c[1])/span*2;
-  const pts=s.path.map(p=>`${X(p[0])},${Z(p[2])}`).join(' ');
-  const kfs=s.keyframes.map(p=>
-   `<circle class="kf" cx="${X(p[0])}" cy="${Z(p[2])}" r="0.018"/>`).join('');
-  const lms=s.landmarks.map(p=>
-   `<circle class="lm" cx="${X(p[0])}" cy="${Z(p[2])}" r="0.006"/>`).join('');
-  const last=s.path[s.path.length-1];
-  document.getElementById('view').innerHTML=
-   lms+`<polyline class="path" points="${pts}"/>`+kfs+
-   `<circle class="cur" cx="${X(last[0])}" cy="${Z(last[2])}" r="0.025"/>`;
+  draw(s);
  }catch(e){}
 }
 setInterval(tick,500); tick();
@@ -122,6 +168,10 @@ class LiveViz:
         self._keyframes: list = []
         self._landmarks: list = []
         self._n_frames = 0
+        # true counter: the _keyframes list is decimated at max_path for
+        # display, so its length under-reports on long runs (n_frames is a
+        # counter for the same reason)
+        self._n_keyframes = 0
         self._latest: dict = {
             "t_ns": 0,
             "position": [0.0, 0.0, 0.0],
@@ -218,6 +268,7 @@ class LiveViz:
         """Keyframe marker (the reference's keyframe TF/marker role)."""
         pos = _cam_in_world(pose_w2c)[:3, 3].tolist()
         with self._lock:
+            self._n_keyframes += 1
             self._keyframes.append(pos)
             if len(self._keyframes) > self._max_path:
                 self._keyframes = self._keyframes[::2]
@@ -238,7 +289,7 @@ class LiveViz:
         with self._lock:
             return {
                 "n_frames": self._n_frames,
-                "n_keyframes": len(self._keyframes),
+                "n_keyframes": self._n_keyframes,
                 "n_landmarks": len(self._landmarks),
                 "path": list(self._path),
                 "keyframes": list(self._keyframes),
