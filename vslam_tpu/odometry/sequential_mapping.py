@@ -177,6 +177,10 @@ class ChunkMappingBackend:
         # smaller NMS grid_cell for sub-VGA frames, where the default 30 px
         # cell caps detection at a few dozen keypoints)
         loop_closure_cfg=None,  # features.loop_closure.LoopClosureConfig
+        fold_min_span_frac=None,  # PoseGraphBackend online-fold policy
+        # override (> 1 = anchoring-only: closures refine the graph but
+        # never touch the live chain — the measured best profile when the
+        # front end's aligned shape error is smaller than closure noise)
     ):
         from ..features.tracking import FeatureTracking
 
@@ -237,11 +241,12 @@ class ChunkMappingBackend:
         if enable_loop_closure:
             from .graph_backend import PoseGraphBackend
 
-            self._graph = (
-                PoseGraphBackend(loop_closure_cfg)
-                if loop_closure_cfg is not None
-                else PoseGraphBackend()
-            )
+            kw = {}
+            if loop_closure_cfg is not None:
+                kw["cfg"] = loop_closure_cfg
+            if fold_min_span_frac is not None:
+                kw["fold_min_span_frac"] = fold_min_span_frac
+            self._graph = PoseGraphBackend(**kw)
         self._log = get_logger("mapping")
         self._cam_host: Optional[Camera] = None  # host-scalar intrinsics cache
         # compute_device: where the backend's SMALL-matrix programs (match,
