@@ -127,7 +127,11 @@ def main():
     @functools.partial(jax.jit, static_argnames=("reps",))
     def bench_loop(ref, cur, rel0, x_pred, reps: int):
         def body(i, rel_prev):
-            rel_in = SE3(rel0.R + 0.0 * rel_prev.R, rel0.t + 0.0 * rel_prev.t)
+            # unfoldable carry — every rep pays the full per-align cost
+            # including precompute (bench.py methodology v3)
+            rel_in = SE3(
+                rel0.R + 1e-30 * rel_prev.R, rel0.t + 1e-30 * rel_prev.t
+            )
             r, _, _ = align_pairs(ref, cur, rel_in, x_pred, cfg)
             return r
 

@@ -290,7 +290,8 @@ def test_multiseq_async_backend_rebase_on_correction():
     # folded; the backend must see re-based poses
     chunk2_a = [np.asarray(T) for _, T, _ in res[0][5:9]]
     for handed, raw in zip(backends[0].calls[2], chunk2_a):
-        np.testing.assert_allclose(handed, delta @ raw, atol=1e-12)
+        # right-composed correction algebra (r5)
+        np.testing.assert_allclose(handed, raw @ delta, atol=1e-12)
     # sequence 1 had no correction: its poses arrive unmodified
     chunk2_b = [np.asarray(T) for _, T, _ in res[1][5:9]]
     for handed, raw in zip(backends[1].calls[2], chunk2_b):

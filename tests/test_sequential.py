@@ -304,7 +304,9 @@ def test_async_backend_rebase_on_correction():
     raw = [np.asarray(T) for _, T, _ in results]
     for call, lo in ((2, 5), (3, 9), (4, 13)):
         for handed, raw_T in zip(backend.calls[call], raw[lo : lo + 4]):
-            np.testing.assert_allclose(handed, delta @ raw_T, atol=1e-12)
+            # right-composed correction algebra (r5): re-basing appends the
+            # delta, preserving each pose's camera-relative history
+            np.testing.assert_allclose(handed, raw_T @ delta, atol=1e-12)
     # ...while the chunk AFTER the fold continues from the corrected chain
     # directly: frame 17 tracks from a state that already contains delta, so
     # its pose must carry the correction (and the backend is handed its
