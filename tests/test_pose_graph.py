@@ -134,17 +134,15 @@ def test_pcg_matches_dense(rng):
 
 
 def test_pcg_large_chain_with_loops():
-    """KITTI-seq00-scale regime: a 400-node noisy chain with 5 loop
-    closures; solver='auto' must route to PCG (above _DENSE_MAX_NODES),
-    converge, and collapse the drift — without ever materializing the
-    (K6, K6) Hessian (2.3 GB dense at this K)."""
+    """Beyond-dense regime rehearsal: a 400-node noisy chain with 5 loop
+    closures solved with the explicit matrix-free PCG path (auto routes to
+    dense below 768 nodes — measured faster AND exact there; this pins the
+    PCG path that takes over beyond, without ever materializing the
+    (K6, K6) Hessian)."""
     import time
-
-    from vslam_tpu.ba.pose_graph import _DENSE_MAX_NODES
 
     rng = np.random.default_rng(7)
     K = 400
-    assert K > _DENSE_MAX_NODES
     poses_gt = [np.eye(4)]
     step = np.array([0.4, 0.0, 0.05, 0.0, 2 * np.pi / K, 0.0])
     for k in range(1, K):
@@ -181,7 +179,7 @@ def test_pcg_large_chain_with_loops():
     )
 
     t0 = time.perf_counter()
-    opt, c0, c1 = optimize_pose_graph(g, max_iterations=30, max_cg=512)
+    opt, c0, c1 = optimize_pose_graph(g, max_iterations=30, solver="pcg", max_cg=512)
     elapsed = time.perf_counter() - t0
     assert float(c1) < 0.05 * float(c0), (float(c0), float(c1))
     err_init = _pose_errors(SE3(g.poses.R, g.poses.t), poses_gt)

@@ -100,9 +100,15 @@ _edge_res = jax.vmap(_edge_residual, in_axes=(0, 0, 0, 0, 0))
 
 
 # above this node count, solver="auto" switches from the exact dense solve
-# to matrix-free PCG (dense storage is K^2 * 36 floats; 256 nodes = 9.4 MB
-# and a 3.6e9-FLOP factorization — still cheap; 1000 nodes is not)
-_DENSE_MAX_NODES = 256
+# to matrix-free PCG. Dense storage is K^2 * 36 floats and the
+# factorization (6K)^3/3 FLOPs: 768 nodes = 85 MB + ~3e10 FLOP (well under
+# a second on the MXU) — cheap AND exact; beyond that the cubic bites.
+# Measured (r5, KITTI loop gate, 256 live nodes in the 512 bucket): PCG at
+# the default 256-iteration cap UNDER-CONVERGES on stiff chain+closure
+# graphs (odometry edges 1e2 vs closure edges ~n_inl*10 information), and
+# an under-converged inner solve costs far more wall time on-device
+# (~9 ms/CG iteration in the while_loop) than one exact factorization.
+_DENSE_MAX_NODES = 768
 
 
 def _pcg(matvec, minv, b, max_cg: int, rtol: float):
